@@ -1,0 +1,107 @@
+"""Shared building blocks (flax.linen, NHWC, dtype-policy aware)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# HF transformers' "gelu" is the exact erf form; flax's nn.gelu defaults to
+# the tanh approximation — parity requires approximate=False.
+gelu_exact = functools.partial(nn.gelu, approximate=False)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth — drops the whole residual branch per sample.
+
+    EfficientNet-B0 (torchvision) uses rate 0.2 linearly scaled over blocks;
+    ConvNeXt/Swin use per-block schedules. Identity when deterministic.
+    """
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class SqueezeExcite(nn.Module):
+    """SE block: global-average pool -> reduce -> SiLU -> expand -> sigmoid gate.
+
+    Matches torchvision ``SqueezeExcitation`` (1x1 convs) so EfficientNet
+    weights import 1:1.
+    """
+
+    squeeze_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, H, W, C)
+        scale = jnp.mean(x, axis=(1, 2), keepdims=True)
+        scale = nn.Conv(self.squeeze_channels, (1, 1), name="fc1",
+                        dtype=self.dtype)(scale)
+        scale = nn.silu(scale)
+        scale = nn.Conv(x.shape[-1], (1, 1), name="fc2", dtype=self.dtype)(scale)
+        return x * nn.sigmoid(scale)
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: Linear -> act -> Linear (+dropout)."""
+
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    act: Callable = gelu_exact
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        out_dim = self.out_dim or x.shape[-1]
+        x = nn.Dense(self.hidden_dim, name="fc1", dtype=self.dtype)(x)
+        x = self.act(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out_dim, name="fc2", dtype=self.dtype)(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class LayerScale(nn.Module):
+    """Per-channel learned residual scaling (DINOv2, ConvNeXt)."""
+
+    dim: int
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,))
+        return x * gamma.astype(x.dtype)
+
+
+def normalize_l2(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """L2 normalization matching torch.nn.functional.normalize semantics
+    (norm clamped below by eps)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
+    return x / jnp.maximum(norm, eps)
+
+
+def make_divisible(v: float, divisor: int = 8, min_value: Optional[int] = None) -> int:
+    """Channel rounding rule used by the EfficientNet family (torchvision
+    `_make_divisible`): round to nearest multiple of `divisor`, never going
+    below 90% of the original value."""
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v

@@ -1,0 +1,36 @@
+"""Backbone registry: ModelConfig -> flax module."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from geovpr.core.config import ModelConfig
+
+
+def build_backbone(cfg: ModelConfig, dtype=jnp.float32):
+    family = cfg.family
+    if family == "efficientnet":
+        from geovpr.models.efficientnet import EfficientNetB0
+        if cfg.variant not in ("b0",):
+            raise ValueError(f"unknown efficientnet variant {cfg.variant!r}")
+        return EfficientNetB0(dtype=dtype)
+    if family == "swin":
+        from geovpr.models.swin import SwinTransformer, SWIN_VARIANTS
+        if cfg.variant not in SWIN_VARIANTS:
+            raise ValueError(f"unknown swin variant {cfg.variant!r}")
+        return SwinTransformer(**SWIN_VARIANTS[cfg.variant], dtype=dtype,
+                               use_pallas=cfg.use_pallas)
+    if family == "dinov2":
+        from geovpr.models.dinov2 import DinoV2, DINOV2_VARIANTS
+        if cfg.variant not in DINOV2_VARIANTS:
+            raise ValueError(f"unknown dinov2 variant {cfg.variant!r}")
+        return DinoV2(**DINOV2_VARIANTS[cfg.variant], dtype=dtype)
+    if family == "dinov2_salad":
+        from geovpr.models.salad import DinoV2Salad
+        return DinoV2Salad(dtype=dtype, use_pallas=cfg.use_pallas)
+    if family == "convnext":
+        from geovpr.models.convnext import ConvNeXt, CONVNEXT_VARIANTS
+        if cfg.variant not in CONVNEXT_VARIANTS:
+            raise ValueError(f"unknown convnext variant {cfg.variant!r}")
+        return ConvNeXt(**CONVNEXT_VARIANTS[cfg.variant], dtype=dtype)
+    raise ValueError(f"unknown model family {family!r}")

@@ -1,0 +1,242 @@
+"""Swin Transformer backbone (flax.linen, NHWC, static shapes).
+
+TPU-native reimplementation of the architecture behind HF `SwinModel` — the
+reference's geopose backbone ("microsoft/swin-base-patch4-window12-384",
+`swin_transformer/swin_attempt_2.py:32,117`; tiny-224 in
+`swin_finetuning.py:53`) and one angle variant
+(`angle_prediction/swin/swin_angle_finetuning.py:54`).
+
+Parity notes (verified against transformers.models.swin.modeling_swin):
+- patch embed Conv k4/s4 -> LayerNorm
+- per block: LN -> window MSA (separate q/k/v Dense, relative-position-bias
+  table indexed by the standard (2w-1)^2 scheme, additive -100 mask for
+  shifted windows) -> +residual -> LN -> MLP(4x GELU) -> +residual
+- shift = window//2 on odd blocks within a stage
+- patch merging: concat [x00, x10, x01, x11] -> LN(4C) -> Linear(4C->2C,
+  no bias)
+- final LN; "pooler" = mean over tokens
+All resolutions are compile-time constants (224/w7 and 384/w12 divide
+evenly), so window partitioning is pure reshape/transpose and the
+shifted-window mask is a numpy constant baked at trace time — no dynamic
+shapes anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geovpr.models.backbone import BackboneOutput
+from geovpr.models.layers import DropPath, Mlp
+from geovpr.ops import window_attention
+
+SWIN_VARIANTS = {
+    "tiny-224": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+                     window_size=7, image_size=224),
+    "base-224": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                     window_size=7, image_size=224),
+    "base-384": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+                     window_size=12, image_size=384),
+}
+
+LN_EPS = 1e-5
+
+
+def relative_position_index(window: int) -> np.ndarray:
+    """Standard Swin (2w-1)^2 relative-position index table, (N, N) int32."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))  # (2, w, w)
+    flat = coords.reshape(2, -1)                    # (2, N)
+    rel = flat[:, :, None] - flat[:, None, :]       # (2, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)   # (N, N, 2)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+def shifted_window_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Additive attention mask for SW-MSA, (num_windows, N, N) float32 with
+    0 / -100 entries (HF semantics, modeling_swin get_attn_mask)."""
+    img = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    win = img.reshape(h // window, window, w // window, window)
+    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)  # (nW, N)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def window_partition(x: jax.Array, window: int) -> jax.Array:
+    """(B, H, W, C) -> (B * nW, window*window, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // window, window, w // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, window * window, c)
+
+
+def window_reverse(x: jax.Array, window: int, h: int, w: int) -> jax.Array:
+    """(B * nW, window*window, C) -> (B, H, W, C)."""
+    c = x.shape[-1]
+    b = x.shape[0] // ((h // window) * (w // window))
+    x = x.reshape(b, h // window, w // window, window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    num_heads: int
+    window: int
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+        # x: (BW, N, C) window-partitioned tokens
+        bw, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.zeros,
+            ((2 * self.window - 1) ** 2, self.num_heads))
+        idx = relative_position_index(self.window)  # static numpy
+        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1)  # (H, N, N)
+
+        q = nn.Dense(self.dim, name="query", dtype=self.dtype)(x)
+        k = nn.Dense(self.dim, name="key", dtype=self.dtype)(x)
+        v = nn.Dense(self.dim, name="value", dtype=self.dtype)(x)
+
+        def heads(t):
+            return t.reshape(bw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        out = window_attention(heads(q), heads(k), heads(v), bias, mask,
+                               use_pallas=self.use_pallas)
+        out = out.transpose(0, 2, 1, 3).reshape(bw, n, self.dim)
+        return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    resolution: int   # feature-map side length at this stage
+    window: int
+    shift: int
+    drop_path: float = 0.0
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        # x: (B, L, C) with L = resolution^2
+        b, l, c = x.shape
+        h = w = self.resolution
+        shortcut = x
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm1", dtype=self.dtype)(x)
+        x = x.reshape(b, h, w, c)
+        if self.shift > 0:
+            x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
+            mask = jnp.asarray(shifted_window_mask(h, w, self.window, self.shift))
+        else:
+            mask = None
+        xw = window_partition(x, self.window)
+        xw = WindowAttention(self.dim, self.num_heads, self.window,
+                             use_pallas=self.use_pallas, name="attn",
+                             dtype=self.dtype)(xw, mask)
+        x = window_reverse(xw, self.window, h, w)
+        if self.shift > 0:
+            x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
+        x = x.reshape(b, l, c)
+        x = shortcut + DropPath(self.drop_path)(x, deterministic)
+
+        y = nn.LayerNorm(epsilon=LN_EPS, name="norm2", dtype=self.dtype)(x)
+        y = Mlp(hidden_dim=4 * self.dim, name="mlp", dtype=self.dtype)(
+            y, deterministic=deterministic)
+        return x + DropPath(self.drop_path)(y, deterministic)
+
+
+class PatchMerging(nn.Module):
+    dim: int
+    resolution: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, l, c = x.shape
+        h = w = self.resolution
+        x = x.reshape(b, h, w, c)
+        # HF concat order: [x00, x10, x01, x11] (modeling_swin SwinPatchMerging)
+        x = jnp.concatenate([
+            x[:, 0::2, 0::2, :], x[:, 1::2, 0::2, :],
+            x[:, 0::2, 1::2, :], x[:, 1::2, 1::2, :],
+        ], axis=-1)
+        x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm", dtype=self.dtype)(x)
+        return nn.Dense(2 * self.dim, use_bias=False, name="reduction",
+                        dtype=self.dtype)(x)
+
+
+class SwinTransformer(nn.Module):
+    embed_dim: int = 128
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (4, 8, 16, 32)
+    window_size: int = 12
+    image_size: int = 384
+    patch_size: int = 4
+    drop_path_rate: float = 0.1
+    use_pallas: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False,
+                 deterministic: bool = True) -> BackboneOutput:
+        del train  # no batch-norm; kept for interface uniformity
+        x = x.astype(self.dtype)
+        b = x.shape[0]
+        res = self.image_size // self.patch_size
+        if res % self.window_size != 0:
+            raise ValueError(
+                f"patch grid {res} not divisible by window {self.window_size}")
+
+        x = nn.Conv(self.embed_dim, (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size),
+                    name="patch_embed", dtype=self.dtype)(x)
+        x = x.reshape(b, res * res, self.embed_dim)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="embed_norm", dtype=self.dtype)(x)
+
+        total_blocks = sum(self.depths)
+        dprates = np.linspace(0, self.drop_path_rate, total_blocks)
+        block_i = 0
+        dim = self.embed_dim
+        for stage_i, depth in enumerate(self.depths):
+            for layer_i in range(depth):
+                shift = 0 if layer_i % 2 == 0 else self.window_size // 2
+                if res <= self.window_size:
+                    shift = 0
+                x = SwinBlock(
+                    dim=dim, num_heads=self.num_heads[stage_i], resolution=res,
+                    window=min(self.window_size, res), shift=shift,
+                    drop_path=float(dprates[block_i]),
+                    use_pallas=self.use_pallas,
+                    name=f"stage{stage_i}_block{layer_i}",
+                    dtype=self.dtype)(x, deterministic)
+                block_i += 1
+            if stage_i < len(self.depths) - 1:
+                x = PatchMerging(dim=dim, resolution=res,
+                                 name=f"stage{stage_i}_downsample",
+                                 dtype=self.dtype)(x)
+                dim *= 2
+                res //= 2
+
+        x = nn.LayerNorm(epsilon=LN_EPS, name="norm", dtype=self.dtype)(x)
+        tokens = x.astype(jnp.float32)
+        pooled = jnp.mean(tokens, axis=1)  # == HF AdaptiveAvgPool1d pooler
+        return BackboneOutput(pooled=pooled, tokens=tokens)

@@ -1,0 +1,105 @@
+"""Swin transformer numerical parity vs HF `SwinModel` (CPU, random init).
+
+Uses a scaled-down config (2 stages, 64px, window 4) so CPU parity runs are
+fast, plus shape/jit tests on the real tiny-224 variant. The scaled config
+still exercises every architectural element: shifted+unshifted windows,
+relative position bias, patch merging, final LN + mean pooler.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geovpr.models.swin import (
+    SWIN_VARIANTS,
+    SwinTransformer,
+    relative_position_index,
+    shifted_window_mask,
+    window_partition,
+    window_reverse,
+)
+from geovpr.models.convert_torch import convert_swin_hf
+
+SMALL = dict(embed_dim=32, depths=(2, 2), num_heads=(2, 4), window_size=4,
+             image_size=64, drop_path_rate=0.0)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import SwinConfig, SwinModel
+    torch.manual_seed(0)
+    cfg = SwinConfig(
+        image_size=SMALL["image_size"], patch_size=4, embed_dim=SMALL["embed_dim"],
+        depths=list(SMALL["depths"]), num_heads=list(SMALL["num_heads"]),
+        window_size=SMALL["window_size"], drop_path_rate=0.0,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    m = SwinModel(cfg)
+    m.eval()
+    variables = convert_swin_hf(m.state_dict(), SMALL["depths"])
+    return m, variables
+
+
+def test_window_partition_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.array(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    w = window_partition(x, 4)
+    assert w.shape == (2 * 4, 16, 3)
+    back = window_reverse(w, 4, 8, 8)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_matches_hf():
+    import torch
+    from transformers.models.swin.modeling_swin import SwinSelfAttention
+    from transformers import SwinConfig
+    cfg = SwinConfig()
+    att = SwinSelfAttention(cfg, dim=32, num_heads=2, window_size=7)
+    ours = relative_position_index(7)
+    np.testing.assert_array_equal(ours, att.relative_position_index.numpy())
+
+
+def test_shifted_window_mask_matches_hf(hf_pair):
+    import torch
+    m, _ = hf_pair
+    layer = m.encoder.layers[0].blocks[1]  # shifted block
+    ref = layer.get_attn_mask(16, 16, torch.float32, "cpu").numpy()
+    ours = shifted_window_mask(16, 16, window=4, shift=2)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_parity_small_config(hf_pair):
+    import torch
+    m, variables = hf_pair
+    model = SwinTransformer(**SMALL, use_pallas=False)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    out = model.apply(variables, jnp.array(x))
+    with torch.no_grad():
+        ref = m(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(out.tokens),
+                               ref.last_hidden_state.numpy(),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.pooled),
+                               ref.pooler_output.numpy(),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_tiny_224_shapes():
+    cfg = SWIN_VARIANTS["tiny-224"]
+    model = SwinTransformer(**cfg, use_pallas=False)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3))))
+    # last stage dim = 96 * 2^3 = 768, tokens = (224/4/8)^2 = 49
+    tokens = jax.eval_shape(
+        lambda v: model.apply(v, jnp.zeros((1, 224, 224, 3))), variables).tokens
+    assert tokens.shape == (1, 49, 768)
+
+
+def test_indivisible_window_raises():
+    with pytest.raises(ValueError):
+        SwinTransformer(embed_dim=32, depths=(2,), num_heads=(2,),
+                        window_size=5, image_size=64,
+                        use_pallas=False).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
