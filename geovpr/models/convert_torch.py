@@ -159,6 +159,99 @@ def convert_swin_hf(state_dict: Mapping[str, Any], depths) -> dict:
     return tb.variables()
 
 
+def convert_convnext_hf(state_dict: Mapping[str, Any], depths) -> dict:
+    """HF `ConvNextModel` state_dict -> ConvNeXt variables."""
+    tb = _TreeBuilder()
+    sd = state_dict
+
+    def ln(f, t):
+        tb.p(f"{f}/scale", sd[f"{t}.weight"])
+        tb.p(f"{f}/bias", sd[f"{t}.bias"])
+
+    tb.p("stem/kernel", _conv(_np(sd["embeddings.patch_embeddings.weight"])))
+    tb.p("stem/bias", sd["embeddings.patch_embeddings.bias"])
+    ln("stem_norm", "embeddings.layernorm")
+
+    for s, depth in enumerate(depths):
+        if s > 0:
+            ln(f"downsample{s}_norm", f"encoder.stages.{s}.downsampling_layer.0")
+            tb.p(f"downsample{s}_conv/kernel",
+                 _conv(_np(sd[f"encoder.stages.{s}.downsampling_layer.1.weight"])))
+            tb.p(f"downsample{s}_conv/bias",
+                 sd[f"encoder.stages.{s}.downsampling_layer.1.bias"])
+        for b in range(depth):
+            t = f"encoder.stages.{s}.layers.{b}"
+            f = f"stage{s}_block{b}"
+            tb.p(f"{f}/dwconv/kernel", _conv(_np(sd[f"{t}.dwconv.weight"])))
+            tb.p(f"{f}/dwconv/bias", sd[f"{t}.dwconv.bias"])
+            ln(f"{f}/norm", f"{t}.layernorm")
+            tb.p(f"{f}/pwconv1/kernel", _linear(_np(sd[f"{t}.pwconv1.weight"])))
+            tb.p(f"{f}/pwconv1/bias", sd[f"{t}.pwconv1.bias"])
+            tb.p(f"{f}/pwconv2/kernel", _linear(_np(sd[f"{t}.pwconv2.weight"])))
+            tb.p(f"{f}/pwconv2/bias", sd[f"{t}.pwconv2.bias"])
+            tb.p(f"{f}/gamma", sd[f"{t}.layer_scale_parameter"])
+
+    ln("pool_norm", "layernorm")
+    return tb.variables()
+
+
+def convert_dinov2_hf(state_dict: Mapping[str, Any], num_layers: int = 12,
+                      target_grid: int | None = None) -> dict:
+    """HF `Dinov2Model` state_dict -> DinoV2 variables.
+
+    If `target_grid` (patches per side) differs from the checkpoint's grid,
+    the patch position embeddings are bicubically resized — mirroring HF's
+    `interpolate_pos_encoding` (modeling_dinov2) done once at import instead
+    of every forward.
+    """
+    tb = _TreeBuilder()
+    sd = state_dict
+
+    def ln(f, t):
+        tb.p(f"{f}/scale", sd[f"{t}.weight"])
+        tb.p(f"{f}/bias", sd[f"{t}.bias"])
+
+    def dense(f, t):
+        tb.p(f"{f}/kernel", _linear(_np(sd[f"{t}.weight"])))
+        tb.p(f"{f}/bias", sd[f"{t}.bias"])
+
+    tb.p("cls_token", sd["embeddings.cls_token"])
+    pos = _np(sd["embeddings.position_embeddings"])  # (1, N+1, D)
+    if target_grid is not None:
+        src_grid = int(round((pos.shape[1] - 1) ** 0.5))
+        if src_grid != target_grid:
+            import jax
+            import jax.numpy as jnp
+            d = pos.shape[-1]
+            patch = pos[:, 1:].reshape(1, src_grid, src_grid, d)
+            patch = jax.image.resize(
+                jnp.asarray(patch, jnp.float32),
+                (1, target_grid, target_grid, d), method="bicubic")
+            patch = np.asarray(patch).reshape(1, target_grid * target_grid, d)
+            pos = np.concatenate([pos[:, :1], patch], axis=1)
+    tb.p("pos_embed", pos)
+    tb.p("patch_embed/kernel",
+         _conv(_np(sd["embeddings.patch_embeddings.projection.weight"])))
+    tb.p("patch_embed/bias", sd["embeddings.patch_embeddings.projection.bias"])
+
+    for i in range(num_layers):
+        t = f"encoder.layer.{i}"
+        f = f"block{i}"
+        ln(f"{f}/norm1", f"{t}.norm1")
+        dense(f"{f}/attn/query", f"{t}.attention.attention.query")
+        dense(f"{f}/attn/key", f"{t}.attention.attention.key")
+        dense(f"{f}/attn/value", f"{t}.attention.attention.value")
+        dense(f"{f}/attn/proj", f"{t}.attention.output.dense")
+        tb.p(f"{f}/ls1/gamma", sd[f"{t}.layer_scale1.lambda1"])
+        ln(f"{f}/norm2", f"{t}.norm2")
+        dense(f"{f}/mlp/fc1", f"{t}.mlp.fc1")
+        dense(f"{f}/mlp/fc2", f"{t}.mlp.fc2")
+        tb.p(f"{f}/ls2/gamma", sd[f"{t}.layer_scale2.lambda1"])
+
+    ln("norm", "layernorm")
+    return tb.variables()
+
+
 def convert_efficientnet_hf(state_dict: Mapping[str, Any]) -> dict:
     """HF `EfficientNetModel` (b0 config) state_dict -> EfficientNetB0
     variables. Use with ``EfficientNetB0(conv_padding="tf")`` — HF follows

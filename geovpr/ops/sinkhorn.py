@@ -1,0 +1,75 @@
+"""Log-domain Sinkhorn optimal-transport solver — the SALAD hot op.
+
+The reference consumes this only indirectly, inside the frozen
+`torch.hub.load("serizba/salad", "dinov2_salad")` black box
+(`dinov2salad/dinov2salad_finetuning.py:19`) that emits 8448-dim global
+descriptors. Here it is a first-class op (cf. PAPERS.md "Optimal Transport
+Aggregation for Visual Place Recognition", SuperGlue-style dustbin OT):
+
+- fixed iteration count (jit-static; default 3 as in SALAD),
+- log-domain updates (logsumexp) for stability in bf16/f32,
+- "dustbin" row with mass (n - m), uniform marginals elsewhere.
+
+A Pallas TPU kernel version lives in `geovpr/ops/pallas_sinkhorn.py`; this
+jnp path is the autodiff-friendly default and the CPU fallback.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def log_optimal_transport(log_a: jax.Array, log_b: jax.Array, scores: jax.Array,
+                          num_iters: int = 3, reg: float = 1.0) -> jax.Array:
+    """Sinkhorn in log space.
+
+    Args:
+      log_a: (B, M) log row marginals
+      log_b: (B, N) log column marginals
+      scores: (B, M, N) cost/affinity matrix
+      num_iters: fixed Sinkhorn iteration count
+      reg: entropic regularization (scores are divided by it)
+    Returns: (B, M, N) log transport plan.
+    """
+    m = scores / reg
+
+    def body(_, uv):
+        u, v = uv
+        u = log_a - jax.nn.logsumexp(m + v[:, None, :], axis=2)
+        v = log_b - jax.nn.logsumexp(m + u[:, :, None], axis=1)
+        return u, v
+
+    u0 = jnp.zeros_like(log_a)
+    v0 = jnp.zeros_like(log_b)
+    u, v = jax.lax.fori_loop(0, num_iters, body, (u0, v0))
+    return m + u[:, :, None] + v[:, None, :]
+
+
+def salad_assignment(scores: jax.Array, dustbin: jax.Array,
+                     num_iters: int = 3, reg: float = 1.0) -> jax.Array:
+    """SALAD/SuperGlue-style OT assignment with a dustbin cluster.
+
+    Args:
+      scores: (B, M, N) cluster-token affinities (M clusters, N tokens)
+      dustbin: scalar learnable dustbin score
+    Returns: (B, M, N) assignment probabilities (dustbin row removed,
+      exponentiated).
+    """
+    b, m, n = scores.shape
+    dust = jnp.broadcast_to(dustbin.astype(scores.dtype), (b, 1, n))
+    s_aug = jnp.concatenate([scores, dust], axis=1)  # (B, M+1, N)
+
+    norm = -math.log(n + m)
+    log_a = jnp.full((m + 1,), norm, scores.dtype)
+    # the dustbin absorbs the surplus token mass (n - m tokens worth)
+    log_a = log_a.at[-1].add(math.log(max(n - m, 1)))
+    log_b = jnp.full((n,), norm, scores.dtype)
+    log_p = log_optimal_transport(
+        jnp.broadcast_to(log_a, (b, m + 1)),
+        jnp.broadcast_to(log_b, (b, n)),
+        s_aug, num_iters=num_iters, reg=reg)
+    log_p = log_p - norm
+    return jnp.exp(log_p[:, :-1, :])

@@ -1,0 +1,136 @@
+"""HBM-resident descriptor retrieval.
+
+The reference never implements retrieval — it only regresses on SALAD
+descriptors (`dinov2salad/dinov2salad_finetuning.py:28-37`); there is no
+nearest-neighbor / Recall@k code anywhere in the snapshot (SURVEY.md §0).
+This module adds the BASELINE.json north-star capability natively:
+
+- the database lives on device (HBM) in bf16 (2 bytes/dim: a 1M-image,
+  8448-dim index is ~16.9 GB — sharded over the mesh `data` axis for larger
+  fleets),
+- query scoring is one cosine matmul on the MXU (`q @ db.T`, fp32
+  accumulation) + `jax.lax.top_k` on device — no host round-trip,
+- multi-chip: the database is sharded row-wise; each shard computes its
+  local top-k, then the (k * n_shards) candidates are gathered and reduced
+  to a global top-k — `shard_map` + `all_gather` over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from geovpr.models.layers import normalize_l2
+
+
+def cosine_topk(queries: jax.Array, database: jax.Array, k: int,
+                normalized: bool = True):
+    """Top-k cosine similarity. queries (Q, D), database (N, D).
+
+    Returns (scores (Q, k), indices (Q, k)). With `normalized=False`, inputs
+    are L2-normalized first.
+    """
+    if not normalized:
+        queries = normalize_l2(queries)
+        database = normalize_l2(database)
+    scores = jnp.matmul(queries, database.T,
+                        preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, k)
+
+
+def recall_at_k(retrieved_idx: jax.Array, positives: jax.Array,
+                k: int) -> jax.Array:
+    """Recall@k: fraction of queries whose true match appears in the first k
+    retrieved indices. positives: (Q,) ground-truth database index."""
+    hits = (retrieved_idx[:, :k] == positives[:, None]).any(axis=1)
+    return jnp.mean(hits.astype(jnp.float32))
+
+
+@dataclasses.dataclass
+class DescriptorIndex:
+    """On-device descriptor database with sharded search.
+
+    Build once with `.build(descriptors)`; query with `.search(queries, k)`.
+    When a mesh is provided the database rows are sharded over its `data`
+    axis and search runs as local-topk -> all-gather -> global-topk.
+    """
+
+    dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    mesh: Optional[Mesh] = None
+    axis: str = "data"
+    _db: Optional[jax.Array] = None
+    _n: int = 0
+
+    def build(self, descriptors: jax.Array | np.ndarray,
+              normalized: bool = True) -> "DescriptorIndex":
+        x = jnp.asarray(descriptors)
+        if x.shape[-1] != self.dim:
+            raise ValueError(f"descriptor dim {x.shape[-1]} != index dim {self.dim}")
+        if not normalized:
+            x = normalize_l2(x)
+        self._n = x.shape[0]
+        if self.mesh is not None:
+            n_shards = self.mesh.shape[self.axis]
+            pad = (-self._n) % n_shards
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((pad, self.dim), x.dtype)], axis=0)
+            sharding = NamedSharding(self.mesh, P(self.axis, None))
+            self._db = jax.device_put(x.astype(self.dtype), sharding)
+        else:
+            self._db = x.astype(self.dtype)
+        return self
+
+    @property
+    def size(self) -> int:
+        return self._n
+
+    def search(self, queries: jax.Array, k: int):
+        """Returns (scores (Q, k), indices (Q, k)) of cosine top-k matches.
+        Padded rows (zero vectors) can never win over real matches for
+        nonnegative-similarity queries; their score is 0."""
+        if self._db is None:
+            raise ValueError("index not built")
+        q = jnp.asarray(queries, self.dtype)
+        if self.mesh is None:
+            return cosine_topk(q.astype(jnp.float32),
+                               self._db.astype(jnp.float32), k)
+
+        mesh, axis = self.mesh, self.axis
+        n_shards = mesh.shape[axis]
+        shard_rows = self._db.shape[0] // n_shards
+
+        if k > self._n:
+            raise ValueError(f"k={k} exceeds index size {self._n}")
+        # each shard can contribute at most its own rows; n_shards * local_k
+        # always covers the global k because k <= total rows
+        local_k = min(k, shard_rows)
+
+        def local_search(db_shard, q_rep):
+            # db_shard: (rows, D) local; q_rep: (Q, D) replicated
+            scores, idx = cosine_topk(q_rep.astype(jnp.float32),
+                                      db_shard.astype(jnp.float32), local_k)
+            shard_i = jax.lax.axis_index(axis)
+            idx = idx + shard_i * shard_rows
+            # gather candidates from all shards: (n_shards*k) per query
+            all_scores = jax.lax.all_gather(scores, axis, axis=1)
+            all_idx = jax.lax.all_gather(idx, axis, axis=1)
+            all_scores = all_scores.reshape(all_scores.shape[0], -1)
+            all_idx = all_idx.reshape(all_idx.shape[0], -1)
+            best, pos = jax.lax.top_k(all_scores, k)
+            return best, jnp.take_along_axis(all_idx, pos, axis=1)
+
+        fn = jax.shard_map(
+            local_search, mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(), P()),
+            # outputs are value-replicated after the all_gather + local
+            # top_k, but the static VMA checker cannot prove it
+            check_vma=False)
+        return jax.jit(fn)(self._db, q)

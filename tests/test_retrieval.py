@@ -1,0 +1,73 @@
+"""Retrieval: cosine top-k, Recall@k, and sharded index search on the
+8-device CPU mesh (exact parity between sharded and single-device search)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geovpr.parallel import create_mesh
+from geovpr.retrieval import DescriptorIndex, cosine_topk, recall_at_k
+
+
+def _unit(rng, n, d):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_cosine_topk_exact():
+    rng = np.random.default_rng(0)
+    db = _unit(rng, 100, 32)
+    q = _unit(rng, 5, 32)
+    scores, idx = cosine_topk(jnp.array(q), jnp.array(db), k=3)
+    ref = q @ db.T
+    ref_idx = np.argsort(-ref, axis=1)[:, :3]
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.take_along_axis(ref, ref_idx, 1), atol=1e-5)
+
+
+def test_self_retrieval_recall1():
+    rng = np.random.default_rng(1)
+    db = _unit(rng, 64, 128)
+    index = DescriptorIndex(dim=128, dtype=jnp.float32).build(db)
+    _, idx = index.search(jnp.array(db), k=5)
+    r1 = recall_at_k(idx, jnp.arange(64), k=1)
+    assert float(r1) == 1.0
+
+
+def test_sharded_matches_unsharded():
+    rng = np.random.default_rng(2)
+    db = _unit(rng, 103, 64)  # deliberately not divisible by 8 -> padding
+    q = _unit(rng, 7, 64)
+    mesh = create_mesh()
+    sharded = DescriptorIndex(dim=64, dtype=jnp.float32, mesh=mesh).build(db)
+    plain = DescriptorIndex(dim=64, dtype=jnp.float32).build(db)
+    s1, i1 = sharded.search(jnp.array(q), k=4)
+    s2, i2 = plain.search(jnp.array(q), k=4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+
+def test_bf16_index_recall():
+    rng = np.random.default_rng(3)
+    db = _unit(rng, 256, 64)
+    index = DescriptorIndex(dim=64, dtype=jnp.bfloat16).build(db)
+    # perturb queries slightly; bf16 rounding must not break top-1 retrieval
+    q = db + 0.001 * rng.normal(size=db.shape).astype(np.float32)
+    _, idx = index.search(jnp.array(q), k=1)
+    r1 = recall_at_k(idx, jnp.arange(256), k=1)
+    assert float(r1) > 0.99
+
+
+def test_dim_mismatch_raises():
+    with pytest.raises(ValueError):
+        DescriptorIndex(dim=64).build(np.zeros((4, 32), np.float32))
+
+
+def test_recall_at_k_hand_values():
+    idx = jnp.array([[0, 1, 2], [5, 4, 3], [9, 8, 7]])
+    pos = jnp.array([2, 4, 0])
+    assert float(recall_at_k(idx, pos, k=1)) == pytest.approx(0.0)
+    assert float(recall_at_k(idx, pos, k=2)) == pytest.approx(1 / 3)
+    assert float(recall_at_k(idx, pos, k=3)) == pytest.approx(2 / 3)
