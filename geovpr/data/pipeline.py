@@ -1,0 +1,127 @@
+"""Input pipeline: host decode/batch -> device transforms.
+
+The reference decodes+augments in 4 DataLoader worker processes
+(`swin_attempt_2.py:152-153`) and normalizes via the HF processor per
+sample. TPU-first split here:
+
+- HOST (this module): JPEG decode (PIL thread pool; `geovpr.data.decoder`
+  offers a native libjpeg path), uint8 batching, shuffling, padding to
+  static shapes, async device_put prefetch.
+- DEVICE (`geovpr.data.transforms`): uint8 -> float, resize, normalize, and
+  augmentation inside the jitted step — elementwise work fused by XLA into
+  the backbone's first conv instead of burning host cores.
+
+Batches are dicts {"image": (B,H,W,3) uint8, "target": (B,T) f32,
+"mask": (B,) bool} with static B (final partial batch padded; padded rows
+masked out of losses/metrics — the reference instead drops or special-cases
+them, e.g. the None-filtering collate at val_and_test_swin_2.py:179-195).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArraySource:
+    """In-memory image source (synthetic data, tests, pre-decoded shards)."""
+
+    images: np.ndarray          # (N, H, W, 3) uint8
+    targets: np.ndarray         # (N, T) float32
+    filenames: Optional[list[str]] = None
+
+    def __len__(self):
+        return self.images.shape[0]
+
+    def get_batch(self, idx: np.ndarray) -> dict:
+        return {"image": self.images[idx], "target": self.targets[idx]}
+
+
+@dataclasses.dataclass
+class ImageFolderSource:
+    """Disk-backed source: decodes JPEG/PNG with a thread pool at batch-fetch
+    time. Images are resized to `image_size` on the host (PIL bilinear, the
+    same default the HF processors the reference relies on use)."""
+
+    paths: Sequence[str]
+    targets: np.ndarray
+    image_size: int = 224
+    num_threads: int = 8
+    filenames: Optional[list[str]] = None
+
+    def __post_init__(self):
+        self._pool = concurrent.futures.ThreadPoolExecutor(self.num_threads)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _decode(self, path: str) -> np.ndarray:
+        from PIL import Image
+        with Image.open(path) as img:
+            img = img.convert("RGB").resize(
+                (self.image_size, self.image_size), Image.BILINEAR)
+            return np.asarray(img, np.uint8)
+
+    def get_batch(self, idx: np.ndarray) -> dict:
+        imgs = list(self._pool.map(self._decode, [self.paths[i] for i in idx]))
+        return {"image": np.stack(imgs), "target": self.targets[idx]}
+
+
+def iterate_batches(
+    source,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    epoch: int = 0,
+    drop_remainder: bool = False,
+) -> Iterator[dict]:
+    """Yield static-shape batches with a validity mask."""
+    n = len(source)
+    order = np.arange(n)
+    if shuffle:
+        rng = np.random.default_rng(seed + epoch)
+        rng.shuffle(order)
+    stop = (n // batch_size) * batch_size if drop_remainder else n
+    for start in range(0, stop, batch_size):
+        idx = order[start:start + batch_size]
+        valid = idx.shape[0]
+        if valid < batch_size:  # pad final batch to static shape
+            idx = np.concatenate([idx, np.repeat(idx[-1:], batch_size - valid)])
+        batch = source.get_batch(idx)
+        batch["mask"] = np.arange(batch_size) < valid
+        batch["_indices"] = idx[:valid]
+        yield batch
+
+
+def prefetch_to_device(iterator, mesh=None, depth: int = 2):
+    """Overlap host batch assembly with device compute: device_put each
+    batch (sharded over the mesh when given) while the previous one is
+    still being consumed."""
+    import collections
+
+    import jax
+
+    from geovpr.parallel import shard_batch
+
+    queue = collections.deque()
+
+    def _put(batch):
+        host = {k: v for k, v in batch.items() if not k.startswith("_")}
+        extras = {k: v for k, v in batch.items() if k.startswith("_")}
+        if mesh is not None:
+            dev = shard_batch(mesh, host)
+        else:
+            dev = jax.tree_util.tree_map(jax.device_put, host)
+        dev.update(extras)
+        return dev
+
+    for batch in iterator:
+        queue.append(_put(batch))
+        if len(queue) > depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

@@ -1,0 +1,202 @@
+"""Host-side training driver.
+
+One compiled train step + one compiled eval step; everything data-dependent
+(epochs, shuffling, plateau LR, early stopping, best-model tracking,
+checkpoint cadence) runs here on the host — mirroring the reference's loop
+semantics (`swin_attempt_2.py:168-263`) without ever putting dynamic control
+flow inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geovpr.core.config import DataConfig, OptimConfig, TrainConfig
+from geovpr.data.pipeline import iterate_batches, prefetch_to_device
+from geovpr.data.transforms import build_augment, normalize
+from geovpr.objectives.scaler import ScalerState
+from geovpr.train.checkpoint import save_checkpoint
+from geovpr.train.optimizer import build_optimizer, get_lr_scale, set_lr_scale
+from geovpr.train.state import TrainState, create_train_state
+from geovpr.train.steps import make_eval_step, make_train_step, summarize_eval
+
+
+@dataclasses.dataclass
+class Trainer:
+    model: Any
+    objective: Any
+    optim_cfg: OptimConfig
+    train_cfg: TrainConfig
+    data_cfg: DataConfig
+    mesh: Optional[Any] = None
+    has_batch_stats: bool = False
+    pretrained_variables: Optional[dict] = None
+    scaler: Optional[ScalerState] = None
+
+    state: Optional[TrainState] = None
+    run_dir: str = ""
+    history: list = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.run_dir:
+            stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+            name = self.train_cfg.run_name or "run"
+            # run-dir contract from the reference (swin_attempt_2.py:24-25)
+            self.run_dir = os.path.join(self.train_cfg.save_dir,
+                                        f"training_{name}_{stamp}")
+        os.makedirs(self.run_dir, exist_ok=True)
+
+        mean, std = self.data_cfg.mean, self.data_cfg.std
+        self._normalize = lambda x: normalize(x, mean, std)
+        aug = (build_augment(self.data_cfg.augment)
+               if self.data_cfg.augment != "none" else None)
+        self._train_step = jax.jit(
+            make_train_step(self.objective, normalize_fn=self._normalize,
+                            augment_fn=aug,
+                            skip_nonfinite=self.train_cfg.skip_nonfinite_updates,
+                            has_batch_stats=self.has_batch_stats),
+            donate_argnums=(0,) if self.train_cfg.donate_state else ())
+        self._eval_step = jax.jit(
+            make_eval_step(self.objective, normalize_fn=self._normalize,
+                           has_batch_stats=self.has_batch_stats))
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, sample_image_shape, total_steps: int = 0):
+        tx = build_optimizer(self.optim_cfg, params=None,
+                             total_steps=total_steps)
+        rng = jax.random.PRNGKey(self.train_cfg.seed)
+        sample = jnp.zeros((1,) + tuple(sample_image_shape), jnp.float32)
+        self.state = create_train_state(
+            self.model, tx, rng, sample,
+            scaler=self.scaler, out_dim=self.objective.out_dim,
+            pretrained_variables=self.pretrained_variables)
+        return self.state
+
+    # ------------------------------------------------------------------- fit
+    def fit(self, train_source, val_source=None,
+            epochs: Optional[int] = None) -> list:
+        cfg = self.train_cfg
+        epochs = epochs or cfg.epochs
+        bs = self.data_cfg.batch_size
+        steps_per_epoch = max(len(train_source) // bs, 1)
+
+        if self.state is None:
+            img = train_source.get_batch(np.array([0]))["image"][0]
+            self.init_state(img.shape, total_steps=steps_per_epoch * epochs)
+
+        best = float("inf")
+        best_epoch = -1
+        bad_epochs = 0
+        plateau_bad = 0
+
+        for epoch in range(epochs):
+            t0 = time.time()
+            train_metrics = []
+            batches = iterate_batches(
+                train_source, bs, shuffle=True, seed=cfg.seed, epoch=epoch,
+                drop_remainder=self.data_cfg.drop_remainder_train)
+            for batch in prefetch_to_device(batches, self.mesh,
+                                            self.data_cfg.prefetch_depth):
+                batch.pop("_indices", None)
+                self.state, m = self._train_step(self.state, batch)
+                train_metrics.append(m)
+            train_loss = float(np.mean([float(m["loss"]) for m in train_metrics]))
+            skipped = int(sum(float(m["skipped"]) for m in train_metrics))
+
+            record = {"epoch": epoch, "train_loss": train_loss,
+                      "skipped_updates": skipped,
+                      "lr_scale": get_lr_scale(self.state.opt_state),
+                      "seconds": round(time.time() - t0, 2)}
+
+            if val_source is not None:
+                val = self.evaluate(val_source)
+                record.update({f"val_{k}": v for k, v in val.items()})
+                monitored = val[self.objective.monitor]
+
+                # plateau LR (ReduceLROnPlateau, swin_attempt_2.py:159)
+                if self.optim_cfg.schedule == "plateau":
+                    if monitored < best - 1e-12:
+                        plateau_bad = 0
+                    else:
+                        plateau_bad += 1
+                        if plateau_bad > self.optim_cfg.plateau_patience:
+                            new_scale = (get_lr_scale(self.state.opt_state)
+                                         * self.optim_cfg.plateau_factor)
+                            self.state = self.state.replace(
+                                opt_state=set_lr_scale(self.state.opt_state,
+                                                       new_scale))
+                            plateau_bad = 0
+                            record["lr_scale"] = new_scale
+
+                # best-model tracking + early stop (swin_attempt_2.py:250-263)
+                if monitored < best:
+                    best = monitored
+                    best_epoch = epoch
+                    bad_epochs = 0
+                    save_checkpoint(os.path.join(self.run_dir, "best"),
+                                    self.state, epoch, val)
+                else:
+                    bad_epochs += 1
+
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                save_checkpoint(
+                    os.path.join(self.run_dir, f"checkpoint_{epoch}"),
+                    self.state, epoch)
+                self._prune_checkpoints()
+
+            self.history.append(record)
+            with open(os.path.join(self.run_dir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+            if (cfg.early_stop_patience
+                    and bad_epochs >= cfg.early_stop_patience):
+                break
+
+        self.history_summary = {"best": best, "best_epoch": best_epoch}
+        return self.history
+
+    def _prune_checkpoints(self):
+        keep = self.train_cfg.keep_checkpoints
+        if not keep:
+            return
+        cands = sorted(
+            (d for d in os.listdir(self.run_dir) if d.startswith("checkpoint_")),
+            key=lambda d: int(d.split("_")[1]))
+        for d in cands[:-keep]:
+            import shutil
+            shutil.rmtree(os.path.join(self.run_dir, d), ignore_errors=True)
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, source) -> dict:
+        sums = None
+        for batch in prefetch_to_device(
+                iterate_batches(source, self.data_cfg.batch_size),
+                self.mesh, self.data_cfg.prefetch_depth):
+            batch.pop("_indices", None)
+            s, _ = self._eval_step(self.state, batch)
+            s = {k: float(v) for k, v in s.items()}
+            sums = s if sums is None else {k: sums[k] + s[k] for k in sums}
+        return summarize_eval(self.objective, sums)
+
+    def predict(self, source) -> np.ndarray:
+        """Decoded predictions for every row of `source`, in source order."""
+        out = None
+        for batch in prefetch_to_device(
+                iterate_batches(source, self.data_cfg.batch_size),
+                self.mesh, self.data_cfg.prefetch_depth):
+            idx = batch.pop("_indices")
+            _, decoded = self._eval_step(self.state, batch)
+            decoded = np.asarray(decoded)
+            if out is None:
+                out = np.zeros((len(source),) + decoded.shape[1:], np.float32)
+            out[idx] = decoded[:len(idx)]
+        return out

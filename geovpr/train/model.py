@@ -1,0 +1,51 @@
+"""Backbone + head assembly into one trainable module."""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from geovpr.core.config import ModelConfig
+from geovpr.heads import build_head
+from geovpr.models import build_backbone
+
+
+class RegressionModel(nn.Module):
+    """backbone(images) -> pooling -> head -> (B, out_dim).
+
+    `pooling` selects which backbone feature feeds the head:
+    - "pooler"/"mean": BackboneOutput.pooled (HF-pooler-equivalent / global
+      mean — both are means in this stack; Swin v1-v3 vs v4 distinction,
+      swin_attempt_3.py:164-170)
+    - "cls": CLS token (DINOv2 angle heads, dino_angle_finetuning.py:45)
+
+    `freeze_backbone` reproduces the frozen-descriptor path
+    (dinov2salad_finetuning.py:25-26): a stop_gradient on the features (the
+    optimizer factory additionally zeroes backbone updates).
+    """
+
+    config: ModelConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = build_backbone(self.config, dtype=self.dtype)
+        self.head = build_head(
+            self.config.head, out_dim=self.config.out_dim,
+            hidden=self.config.head_hidden, dropout=self.config.head_dropout,
+            dtype=self.dtype)
+
+    def __call__(self, images: jax.Array, train: bool = False,
+                 deterministic: bool = True) -> jax.Array:
+        out = self.backbone(images, train=train, deterministic=deterministic)
+        if self.config.pooling == "cls" and out.cls is not None:
+            feats = out.cls
+        else:
+            feats = out.pooled
+        if self.config.freeze_backbone:
+            feats = jax.lax.stop_gradient(feats)
+        return self.head(feats, deterministic=deterministic)
+
+    def features(self, images: jax.Array) -> jax.Array:
+        """Descriptor/feature extraction path (eval only)."""
+        return self.backbone(images, train=False, deterministic=True).pooled

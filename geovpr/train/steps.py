@@ -1,0 +1,157 @@
+"""jitted train/eval steps.
+
+Design (contrast with the reference's eager loops, swin_attempt_2.py:168-263):
+
+- ONE compiled step per workload; all epoch/early-stop/plateau logic stays on
+  the host around it (dynamic control flow never enters jit),
+- the state pytree is donated — parameters update in place in HBM,
+- batches arrive sharded over the mesh `data` axis; gradients are averaged
+  across devices by jit itself (params replicated -> psum inserted by XLA),
+- NaN-skip (`swin_angle_finetuning_sin_cos.py:110-112`) is a `jnp.where` on
+  the all-finite flag: the update is computed unconditionally and discarded
+  if non-finite — branchless, so the compiled step stays static,
+- eval accumulates metric *sums* on device; the host only sees a handful of
+  scalars per epoch (the reference copies every batch of predictions to the
+  CPU, swin_attempt_2.py:202-203).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from geovpr.train.state import TrainState
+
+
+def make_train_step(objective, normalize_fn=None, augment_fn=None,
+                    skip_nonfinite: bool = True,
+                    has_batch_stats: bool = False) -> Callable:
+    """Returns train_step(state, batch) -> (state, metrics).
+
+    batch: {"image": (B,H,W,3) uint8 or float,
+            "target": (B, T) raw targets (lat/lon or degrees),
+            "mask": (B,) bool valid-row mask}
+    normalize_fn: device-side uint8->normalized-float transform
+    augment_fn: (rng, images) -> (images, flip_mask); flip-remapped targets
+                flow through objective.remap_flip so image and label always
+                agree (fixes the reference's re-sampled-flip approximation,
+                swin_angle_finetuning_gemini.py:59-76)
+    """
+
+    def train_step(state: TrainState, batch):
+        rng, aug_rng, new_rng = jax.random.split(state.rng, 3)
+        images = batch["image"]
+        if normalize_fn is not None:
+            images = normalize_fn(images)
+        targets = batch["target"]
+        if augment_fn is not None:
+            images, flip = augment_fn(aug_rng, images)
+            targets = objective.remap_flip(targets, flip)
+        batch = dict(batch, image=images, target=targets)
+        enc_targets = objective.encode_targets(batch["target"], state.scaler)
+        mask = batch.get("mask")
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                preds, mutated = state.apply_fn(
+                    variables, batch["image"], train=True, deterministic=False,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                new_stats = mutated["batch_stats"]
+            else:
+                preds = state.apply_fn(
+                    variables, batch["image"], train=True, deterministic=False,
+                    rngs={"dropout": rng})
+                new_stats = state.batch_stats
+            return objective.loss(preds, enc_targets, mask), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+
+        new_state = state.apply_gradients(grads)
+        new_state = new_state.replace(batch_stats=new_stats, rng=new_rng)
+
+        if skip_nonfinite:
+            grads_finite = jnp.all(jnp.asarray(
+                [jnp.all(jnp.isfinite(g)) for g in
+                 jax.tree_util.tree_leaves(grads)] + [jnp.isfinite(loss)]))
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(grads_finite, new, old)
+                if hasattr(new, "dtype") and jnp.issubdtype(new.dtype, jnp.floating)
+                else new,
+                new_state, state.replace(rng=new_rng, step=state.step + 1))
+            metrics = {"loss": loss, "skipped": (~grads_finite).astype(jnp.float32)}
+        else:
+            metrics = {"loss": loss, "skipped": jnp.zeros((), jnp.float32)}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(objective, normalize_fn=None,
+                   has_batch_stats: bool = False) -> Callable:
+    """Returns eval_step(state, batch) -> per-batch metric sums + counts.
+
+    Emits SUMS (not means) plus the valid count so the host can aggregate
+    exactly over a full epoch regardless of ragged final batches."""
+
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        images = batch["image"]
+        if normalize_fn is not None:
+            images = normalize_fn(images)
+        preds = state.apply_fn(variables, images, train=False,
+                               deterministic=True)
+        decoded = objective.decode_predictions(preds, state.scaler)
+        mask = batch.get("mask")
+        if mask is None:
+            mask = jnp.ones(batch["image"].shape[0], bool)
+        m = mask.astype(jnp.float32)
+
+        target = batch["target"]
+        if decoded.ndim == 1:
+            target = target.reshape(-1)
+        err = decoded - target
+        sums = {
+            "count": jnp.sum(m),
+            "sq_err": jnp.sum((err.T * m).T ** 2) if err.ndim > 1
+                      else jnp.sum(err ** 2 * m),
+            "abs_err": jnp.sum((jnp.abs(err).T * m).T) if err.ndim > 1
+                       else jnp.sum(jnp.abs(err) * m),
+        }
+        if decoded.ndim > 1:  # geopose: per-axis sums
+            sums["abs_err_lat"] = jnp.sum(jnp.abs(err[:, 0]) * m)
+            sums["abs_err_lon"] = jnp.sum(jnp.abs(err[:, 1]) * m)
+            sums["sq_err_lat"] = jnp.sum(err[:, 0] ** 2 * m)
+            sums["sq_err_lon"] = jnp.sum(err[:, 1] ** 2 * m)
+        else:  # angle: circular error sums
+            from geovpr.objectives.losses import angular_error_deg
+            ang = angular_error_deg(decoded, target)
+            sums["ang_err"] = jnp.sum(ang * m)
+        return sums, decoded
+
+    return eval_step
+
+
+def summarize_eval(objective, sums: dict) -> dict:
+    """Host-side reduction of accumulated eval sums into the reference's
+    metric suite (validation_swin_2.py:191-195 / en_finetuning_gemini.py:235)."""
+    n = max(float(sums["count"]), 1.0)
+    out = {}
+    if "ang_err" in sums:
+        out["maae"] = float(sums["ang_err"]) / n
+        out["mse"] = float(sums["sq_err"]) / n
+    else:
+        # geopose: MSE averaged over both axes = competition loss
+        out["mse"] = float(sums["sq_err"]) / (2 * n)
+        out["rmse"] = out["mse"] ** 0.5
+        out["mae"] = float(sums["abs_err"]) / (2 * n)
+        out["mae_lat"] = float(sums["abs_err_lat"]) / n
+        out["mae_lon"] = float(sums["abs_err_lon"]) / n
+        out["competition_loss"] = out["mse"]
+    return out

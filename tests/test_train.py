@@ -1,0 +1,218 @@
+"""End-to-end training-stack tests on the 8-device CPU mesh.
+
+Uses a small learnable synthetic task: images whose mean brightness and
+left/right asymmetry encode the regression targets, so a few steps of
+training must visibly reduce loss. This exercises the full stack: uint8
+batches -> device normalize/augment -> forward -> loss -> grads -> optax ->
+NaN-skip -> checkpoint round-trip -> eval sums -> CSV export.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geovpr.core.config import DataConfig, ModelConfig, OptimConfig, TrainConfig
+from geovpr.data.pipeline import ArraySource, iterate_batches
+from geovpr.objectives.scaler import fit_scaler
+from geovpr.objectives.workloads import (
+    AngleDirectObjective,
+    AngleSinCosObjective,
+    GeoposeObjective,
+)
+from geovpr.parallel import create_mesh
+from geovpr.train import Trainer
+from geovpr.train.checkpoint import restore_checkpoint, save_checkpoint
+from geovpr.train.model import RegressionModel
+from geovpr.train.optimizer import build_optimizer, get_lr_scale, set_lr_scale
+
+
+import flax.linen as nn
+
+
+class TinyBackbone(nn.Module):
+    """Conv stem + pooled features — keeps train tests seconds-fast."""
+
+    @nn.compact
+    def __call__(self, x, train=False, deterministic=True):
+        from geovpr.models.backbone import BackboneOutput
+        h = nn.Conv(16, (3, 3), strides=(2, 2))(x)
+        h = nn.relu(h)
+        h = nn.Conv(32, (3, 3), strides=(2, 2))(h)
+        h = nn.relu(h)
+        pooled = jnp.mean(h, axis=(1, 2))
+        return BackboneOutput(pooled=pooled,
+                              tokens=h.reshape(h.shape[0], -1, 32))
+
+
+class TinyModel(nn.Module):
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x, train=False, deterministic=True):
+        out = TinyBackbone(name="backbone")(x, train, deterministic)
+        return nn.Dense(self.out_dim, name="head_out")(out.pooled)
+
+
+def synthetic_geo_source(n=64, size=32, seed=0):
+    rng = np.random.default_rng(seed)
+    # brightness encodes lat, horizontal gradient encodes lon
+    lat01 = rng.uniform(0, 1, n).astype(np.float32)
+    lon01 = rng.uniform(0, 1, n).astype(np.float32)
+    ramp = np.linspace(-1, 1, size, dtype=np.float32)[None, None, :, None]
+    base = lat01[:, None, None, None] * 180.0 + 40.0
+    grad = lon01[:, None, None, None] * 60.0 * ramp
+    imgs = np.clip(base + grad + rng.normal(0, 4, (n, size, size, 3)), 0, 255)
+    lat = 219000.0 + lat01 * 2000.0
+    lon = 143000.0 + lon01 * 3000.0
+    targets = np.stack([lat, lon], 1).astype(np.float32)
+    return ArraySource(images=imgs.astype(np.uint8), targets=targets)
+
+
+def make_trainer(objective, out_dim, mesh=None, **kw):
+    model = TinyModel(out_dim=out_dim)
+    return Trainer(
+        model=model,
+        objective=objective,
+        optim_cfg=kw.pop("optim_cfg", OptimConfig(lr=3e-3, schedule="constant")),
+        train_cfg=TrainConfig(epochs=3, seed=0, save_dir=kw.pop("save_dir", "/tmp/geovpr_test_runs"),
+                              checkpoint_every=0, donate_state=False),
+        data_cfg=DataConfig(batch_size=16, augment=kw.pop("augment", "none")),
+        mesh=mesh,
+        **kw,
+    )
+
+
+class TestGeoposeTraining:
+    def test_loss_decreases_and_metrics(self, tmp_path):
+        src = synthetic_geo_source(n=128)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = make_trainer(GeoposeObjective(loss_name="mse"), 2,
+                          mesh=create_mesh(), scaler=scaler,
+                          save_dir=str(tmp_path))
+        hist = tr.fit(src, val_source=src, epochs=10)
+        assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+        assert hist[-1]["val_mse"] < hist[0]["val_mse"]
+        # eval metric suite shape
+        for key in ("val_mse", "val_rmse", "val_mae", "val_mae_lat",
+                    "val_mae_lon", "val_competition_loss"):
+            assert key in hist[-1]
+
+    def test_predict_matches_eval(self, tmp_path):
+        src = synthetic_geo_source(n=24)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = make_trainer(GeoposeObjective(), 2, scaler=scaler,
+                          save_dir=str(tmp_path))
+        tr.fit(src, epochs=1)
+        preds = tr.predict(src)
+        assert preds.shape == (24, 2)
+        val = tr.evaluate(src)
+        manual_mse = 0.5 * np.mean(np.sum((preds - src.targets) ** 2, axis=1))
+        np.testing.assert_allclose(val["mse"], manual_mse, rtol=1e-4)
+
+
+class TestAngleTraining:
+    def test_sincos_trains(self, tmp_path):
+        rng = np.random.default_rng(1)
+        n, size = 64, 32
+        ang01 = rng.uniform(0, 1, n).astype(np.float32)
+        imgs = np.clip(ang01[:, None, None, None] * 200.0 + 20.0 +
+                       rng.normal(0, 3, (n, size, size, 3)), 0, 255)
+        src = ArraySource(images=imgs.astype(np.uint8),
+                          targets=(ang01 * 180.0).astype(np.float32))
+        tr = make_trainer(AngleSinCosObjective(), 2, save_dir=str(tmp_path))
+        hist = tr.fit(src, val_source=src, epochs=4)
+        assert hist[-1]["val_maae"] < hist[0]["val_maae"]
+
+    def test_direct_with_flip_augment(self, tmp_path):
+        rng = np.random.default_rng(2)
+        n, size = 32, 32
+        imgs = rng.integers(0, 255, (n, size, size, 3), dtype=np.uint8)
+        src = ArraySource(images=imgs,
+                          targets=rng.uniform(0, 700, n).astype(np.float32))
+        tr = make_trainer(AngleDirectObjective(), 1, augment="geo_light",
+                          save_dir=str(tmp_path))
+        hist = tr.fit(src, val_source=src, epochs=2)
+        assert np.isfinite(hist[-1]["train_loss"])
+        assert "val_maae" in hist[-1]
+
+
+class TestCheckpointResume:
+    def test_roundtrip(self, tmp_path):
+        src = synthetic_geo_source(n=16)
+        tr = make_trainer(GeoposeObjective(loss_name="mse"), 2,
+                          scaler=fit_scaler(jnp.array(src.targets)),
+                          save_dir=str(tmp_path))
+        tr.fit(src, epochs=1)
+        path = os.path.join(str(tmp_path), "ckpt_test")
+        save_checkpoint(path, tr.state, epoch=7, metrics={"mse": 1.5})
+        # fresh state, restore into it
+        tr2 = make_trainer(GeoposeObjective(loss_name="mse"), 2,
+                           save_dir=str(tmp_path))
+        tr2.init_state((32, 32, 3))
+        restored, epoch = restore_checkpoint(path, tr2.state)
+        assert epoch == 7
+        np.testing.assert_allclose(
+            np.asarray(restored.scaler.mean), np.asarray(tr.state.scaler.mean))
+        a = jax.tree_util.tree_leaves(restored.params)
+        b = jax.tree_util.tree_leaves(tr.state.params)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # restored state steps further without error
+        tr2.state = restored
+        tr2.fit(src, epochs=1)
+
+
+class TestOptimizerFeatures:
+    def test_plateau_scale(self):
+        tx = build_optimizer(OptimConfig(schedule="plateau"), None, 10)
+        params = {"backbone": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+        st = tx.init(params)
+        assert get_lr_scale(st) == 1.0
+        st = set_lr_scale(st, 0.2)
+        assert get_lr_scale(st) == pytest.approx(0.2)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, st, params)
+        assert np.isfinite(np.asarray(updates["head"]["w"])).all()
+
+    def test_frozen_backbone_gets_zero_updates(self):
+        tx = build_optimizer(OptimConfig(backbone_lr_scale=0.0), None, 10)
+        params = {"backbone": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+        st = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, st, params)
+        np.testing.assert_array_equal(np.asarray(updates["backbone"]["w"]),
+                                      np.zeros(3))
+        assert np.abs(np.asarray(updates["head"]["w"])).max() > 0
+
+    def test_differential_lr(self):
+        tx = build_optimizer(OptimConfig(backbone_lr_scale=0.1, lr=1e-3,
+                                         weight_decay=0.0), None, 10)
+        params = {"backbone": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+        st = tx.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, st, params)
+        ratio = (np.abs(np.asarray(updates["backbone"]["w"])).mean()
+                 / np.abs(np.asarray(updates["head"]["w"])).mean())
+        assert ratio == pytest.approx(0.1, rel=1e-3)
+
+
+class TestNaNSkip:
+    def test_nonfinite_batch_skipped(self, tmp_path):
+        src = synthetic_geo_source(n=16)
+        tr = make_trainer(GeoposeObjective(loss_name="mse"), 2,
+                          save_dir=str(tmp_path))
+        tr.init_state((32, 32, 3))
+        batch = src.get_batch(np.arange(16))
+        batch = {"image": batch["image"].astype(np.float32),
+                 "target": batch["target"],
+                 "mask": np.ones(16, bool)}
+        bad = dict(batch, target=np.full_like(batch["target"], np.nan))
+        params_before = jax.tree_util.tree_leaves(tr.state.params)
+        state, m = tr._train_step(tr.state, bad)
+        assert float(m["skipped"]) == 1.0
+        params_after = jax.tree_util.tree_leaves(state.params)
+        for x, y in zip(params_before, params_after):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
