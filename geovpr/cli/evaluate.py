@@ -1,0 +1,111 @@
+"""Evaluation / prediction-export entry point.
+
+    python -m geovpr.cli.evaluate --preset swin_b384_gemini2 \
+        --run-dir runs/training_gemini_2_... --val-csv labels_val.csv \
+        --image-root dataset/images [--test-dir dataset/test]
+
+Replaces the reference's 6 validation/test scripts
+(`validation_swin_2.py`, `val_and_test_swin_2.py`, `swin_validation.py`,
+`validation_script.py`, `test_script.py`, `swin_angle_validation.py`):
+computes the metric suite on the val split, writes
+`validation_predictions.csv`, and (with --test-dir) the sorted test CSVs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", required=True)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--checkpoint", default="best",
+                   help="'best', 'latest', or a checkpoint dir name")
+    p.add_argument("--val-csv", required=True)
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--test-dir", default="")
+    p.add_argument("--out-dir", default="")
+    args = p.parse_args(argv)
+
+    from geovpr.cli.presets import build_preset, objective_for
+    from geovpr.core.config import GeoposeConfig
+    from geovpr.data.manifest import list_test_images, load_manifest
+    from geovpr.data.pipeline import ImageFolderSource
+    from geovpr.parallel import create_mesh
+    from geovpr.pipeline.export import (
+        write_angle_test_csv,
+        write_angle_validation_csv,
+        write_geopose_test_csv,
+        write_geopose_validation_csv,
+    )
+    from geovpr.train import Trainer
+    from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from geovpr.train.model import RegressionModel
+
+    cfg = build_preset(args.preset)
+    is_geo = isinstance(cfg, GeoposeConfig)
+    out_dir = args.out_dir or args.run_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    manifest = load_manifest(args.val_csv, args.image_root)
+    data = dataclasses.replace(cfg.data, image_root=args.image_root)
+
+    trainer = Trainer(
+        model=RegressionModel(config=cfg.model),
+        objective=objective_for(cfg),
+        optim_cfg=cfg.optim, train_cfg=cfg.train, data_cfg=data,
+        mesh=create_mesh(),
+        has_batch_stats=(cfg.model.family == "efficientnet"),
+        run_dir=out_dir)
+    trainer.init_state((data.image_size, data.image_size, 3))
+
+    if args.checkpoint == "latest":
+        ckpt = latest_checkpoint(args.run_dir)
+    else:
+        ckpt = os.path.join(args.run_dir, args.checkpoint)
+    trainer.state, _ = restore_checkpoint(ckpt, trainer.state)
+
+    def make_source(paths, targets, names):
+        return ImageFolderSource(paths=paths, targets=np.asarray(targets),
+                                 image_size=data.image_size, filenames=names)
+
+    targets = manifest.latlon if is_geo else manifest.angle
+    val_source = make_source(manifest.paths(), targets, manifest.filenames)
+
+    metrics = trainer.evaluate(val_source)
+    preds = trainer.predict(val_source)
+    val_csv = os.path.join(out_dir, "validation_predictions.csv")
+    if is_geo:
+        write_geopose_validation_csv(val_csv, manifest.filenames,
+                                     manifest.latlon, preds)
+    else:
+        write_angle_validation_csv(val_csv, manifest.filenames,
+                                   manifest.angle, preds)
+
+    outputs = {"metrics": metrics, "validation_csv": val_csv}
+
+    if args.test_dir:
+        names = list_test_images(args.test_dir)
+        paths = [os.path.join(args.test_dir, n) for n in names]
+        dummy = np.zeros((len(names), 2 if is_geo else 1), np.float32)
+        test_source = make_source(paths, dummy, names)
+        test_preds = trainer.predict(test_source)
+        if is_geo:
+            path = os.path.join(out_dir, "test_predictions_sorted.csv")
+            write_geopose_test_csv(path, names, test_preds)
+        else:
+            path = os.path.join(out_dir, "test_pred.csv")
+            write_angle_test_csv(path, names, test_preds)
+        outputs["test_csv"] = path
+
+    print(json.dumps(outputs))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Training entry point.
+
+    python -m geovpr.cli.train --preset swin_b384_gemini2 \
+        --train-csv labels_train.csv --val-csv labels_val.csv \
+        --image-root dataset/images --save-dir runs
+
+Replaces the reference's 16 hard-coded trainer scripts with one config-driven
+entry (SURVEY.md §5 "Config / flag system": the reference bakes absolute
+/home paths and constants into every file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", required=True)
+    p.add_argument("--train-csv", required=True)
+    p.add_argument("--val-csv", default="")
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--save-dir", default="runs")
+    p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--pretrained", default="",
+                   help="path to a converted checkpoint (msgpack/orbax) to "
+                        "initialize the backbone from")
+    p.add_argument("--resume", default="", help="run dir to resume from")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from geovpr.cli.presets import build_preset, objective_for
+    from geovpr.core.config import AngleConfig, GeoposeConfig
+    from geovpr.data.manifest import load_manifest
+    from geovpr.data.pipeline import ImageFolderSource
+    from geovpr.objectives.scaler import fit_scaler
+    from geovpr.parallel import create_mesh
+    from geovpr.train import Trainer
+    from geovpr.train.model import RegressionModel
+
+    cfg = build_preset(args.preset)
+    data = dataclasses.replace(
+        cfg.data, train_csv=args.train_csv, val_csv=args.val_csv,
+        image_root=args.image_root,
+        **({"batch_size": args.batch_size} if args.batch_size else {}))
+    train_cfg = dataclasses.replace(
+        cfg.train, save_dir=args.save_dir,
+        **({"epochs": args.epochs} if args.epochs else {}),
+        **({"seed": args.seed} if args.seed >= 0 else {}))
+
+    train_manifest = load_manifest(args.train_csv, args.image_root,
+                                   data.screen_missing_files,
+                                   data.screen_corrupt_images)
+    val_manifest = (load_manifest(args.val_csv, args.image_root)
+                    if args.val_csv else None)
+
+    is_geo = isinstance(cfg, GeoposeConfig)
+    train_targets = (train_manifest.latlon if is_geo else train_manifest.angle)
+    scaler = None
+    if is_geo and cfg.scale_targets:
+        # fit on TRAIN targets only (swin_attempt_2.py:135-137)
+        scaler = fit_scaler(jnp.asarray(train_targets))
+
+    def make_source(manifest):
+        targets = manifest.latlon if is_geo else manifest.angle
+        return ImageFolderSource(
+            paths=manifest.paths(), targets=np.asarray(targets),
+            image_size=data.image_size,
+            num_threads=data.num_decode_threads,
+            filenames=manifest.filenames)
+
+    model = RegressionModel(config=cfg.model)
+    trainer = Trainer(
+        model=model,
+        objective=objective_for(cfg),
+        optim_cfg=cfg.optim,
+        train_cfg=train_cfg,
+        data_cfg=data,
+        mesh=create_mesh(),
+        has_batch_stats=(cfg.model.family == "efficientnet"),
+        scaler=scaler,
+    )
+
+    if args.resume:
+        from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
+        trainer.init_state((data.image_size, data.image_size, 3))
+        ckpt = latest_checkpoint(args.resume)
+        if ckpt is None:
+            raise SystemExit(f"no checkpoint under {args.resume}")
+        trainer.state, start_epoch = restore_checkpoint(ckpt, trainer.state)
+        print(f"resumed from {ckpt} at epoch {start_epoch}")
+
+    history = trainer.fit(make_source(train_manifest),
+                          make_source(val_manifest) if val_manifest else None)
+    print(json.dumps({"run_dir": trainer.run_dir,
+                      "final": history[-1] if history else {}}))
+
+
+if __name__ == "__main__":
+    main()

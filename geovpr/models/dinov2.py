@@ -15,6 +15,12 @@ Parity notes (verified against transformers.models.dinov2.modeling_dinov2):
   LayerScale(lambda1) -> +res -> LN -> MLP(4x exact GELU) -> LayerScale ->
   +res
 - final LN; `pooled` = CLS token.
+
+Two attention-block execution paths share one parameter tree:
+- XLA einsum path (CPU / autodiff / default),
+- `geovpr.ops.pallas_mhsa.fused_mhsa_block` — a Pallas TPU kernel fusing
+  LN1 + qkv + per-head attention + out-proj + LayerScale + residual in
+  VMEM (measured ~1.5x faster than the XLA chain at B=256, N=257).
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from geovpr.models.backbone import BackboneOutput
-from geovpr.models.layers import DropPath, LayerScale, Mlp
+from geovpr.models.layers import DropPath, Mlp
 
 DINOV2_VARIANTS = {
     "small-14": dict(hidden_size=384, num_layers=12, num_heads=6),
@@ -37,31 +43,49 @@ DINOV2_VARIANTS = {
 LN_EPS = 1e-6
 
 
-class SelfAttention(nn.Module):
-    dim: int
-    num_heads: int
-    dtype: jnp.dtype = jnp.float32
+class PDense(nn.Module):
+    """Parameter holder with nn.Dense-compatible tree paths (kernel, bias);
+    lets the block feed the SAME weights to either the einsum path or the
+    fused Pallas kernel."""
+
+    in_dim: int
+    out_dim: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        b, n, c = x.shape
-        head_dim = self.dim // self.num_heads
-        q = nn.Dense(self.dim, name="query", dtype=self.dtype)(x)
-        k = nn.Dense(self.dim, name="key", dtype=self.dtype)(x)
-        v = nn.Dense(self.dim, name="value", dtype=self.dtype)(x)
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
 
-        def heads(t):
-            return t.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores * (head_dim ** -0.5)
-        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
-        return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
+class PScaleBias(nn.Module):
+    """LayerNorm-compatible parameter holder (scale, bias)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,)),
+                self.param("bias", nn.initializers.zeros, (self.dim,)))
+
+
+class AttnParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {name: PDense(self.dim, self.dim, name=name)()
+                for name in ("query", "key", "value", "proj")}
+
+
+def _layer_norm(x, scale, bias, eps=LN_EPS):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    out = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (out * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 class DinoV2Block(nn.Module):
@@ -69,20 +93,82 @@ class DinoV2Block(nn.Module):
     num_heads: int
     layerscale_init: float = 1.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        h = nn.LayerNorm(epsilon=LN_EPS, name="norm1", dtype=self.dtype)(x)
-        h = SelfAttention(self.dim, self.num_heads, name="attn",
-                          dtype=self.dtype)(h)
-        h = LayerScale(self.dim, self.layerscale_init, name="ls1")(h)
-        x = x + DropPath(self.drop_path)(h, deterministic)
-        h = nn.LayerNorm(epsilon=LN_EPS, name="norm2", dtype=self.dtype)(x)
-        h = Mlp(hidden_dim=4 * self.dim, name="mlp", dtype=self.dtype)(
+        d = self.dim
+        n1_scale, n1_bias = PScaleBias(d, name="norm1")()
+        attn = AttnParams(d, name="attn")()
+        gamma1 = self.param_child_ls("ls1")
+        b, n, c = x.shape
+
+        pallas_ok = (self.use_pallas and jax.default_backend() == "tpu"
+                     and (deterministic or self.drop_path == 0.0))
+        if pallas_ok:
+            from geovpr.ops.pallas_mhsa import fused_mhsa_block
+            wqkv = jnp.concatenate(
+                [attn["query"][0], attn["key"][0], attn["value"][0]],
+                axis=1).astype(self.dtype)
+            bqkv = jnp.concatenate(
+                [attn["query"][1], attn["key"][1], attn["value"][1]])
+            x = fused_mhsa_block(
+                x.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
+                attn["proj"][0].astype(self.dtype), attn["proj"][1],
+                gamma1, num_heads=self.num_heads, ln_eps=LN_EPS)
+        else:
+            h = _layer_norm(x, n1_scale, n1_bias)
+            h = self._attention(h, attn)
+            h = h * gamma1.astype(h.dtype)
+            x = x + DropPath(self.drop_path)(h, deterministic)
+
+        n2_scale, n2_bias = PScaleBias(d, name="norm2")()
+        h = _layer_norm(x, n2_scale, n2_bias)
+        h = Mlp(hidden_dim=4 * d, name="mlp", dtype=self.dtype)(
             h, deterministic=deterministic)
-        h = LayerScale(self.dim, self.layerscale_init, name="ls2")(h)
+        gamma2 = self.param_child_ls("ls2")
+        h = h * gamma2.astype(h.dtype)
         return x + DropPath(self.drop_path)(h, deterministic)
+
+    def param_child_ls(self, name: str):
+        return LayerScaleParam(self.dim, self.layerscale_init, name=name)()
+
+    def _attention(self, x, attn):
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        dt = self.dtype
+
+        def proj(t, kb):
+            kernel, bias = kb
+            return (jnp.dot(t.astype(dt), kernel.astype(dt),
+                            preferred_element_type=jnp.float32)
+                    + bias.astype(jnp.float32)).astype(dt)
+
+        def heads(t):
+            return t.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q = heads(proj(x, attn["query"]))
+        k = heads(proj(x, attn["key"]))
+        v = heads(proj(x, attn["value"]))
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (head_dim ** -0.5)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return proj(out, attn["proj"])
+
+
+class LayerScaleParam(nn.Module):
+    dim: int
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        return self.param("gamma", nn.initializers.constant(self.init_value),
+                          (self.dim,))
 
 
 class DinoV2(nn.Module):
@@ -93,6 +179,7 @@ class DinoV2(nn.Module):
     image_size: int = 224
     layerscale_init: float = 1.0
     drop_path_rate: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -122,8 +209,10 @@ class DinoV2(nn.Module):
             x = DinoV2Block(self.hidden_size, self.num_heads,
                             layerscale_init=self.layerscale_init,
                             drop_path=self.drop_path_rate,
+                            use_pallas=self.use_pallas,
                             name=f"block{i}", dtype=self.dtype)(x, deterministic)
 
-        x = nn.LayerNorm(epsilon=LN_EPS, name="norm", dtype=self.dtype)(x)
+        norm_scale, norm_bias = PScaleBias(self.hidden_size, name="norm")()
+        x = _layer_norm(x, norm_scale, norm_bias)
         x = x.astype(jnp.float32)
         return BackboneOutput(pooled=x[:, 0], tokens=x[:, 1:], cls=x[:, 0])

@@ -94,7 +94,7 @@ class DinoV2Salad(nn.Module):
                  deterministic: bool = True) -> BackboneOutput:
         backbone = DinoV2(**DINOV2_VARIANTS[self.variant],
                           image_size=self.image_size, name="backbone",
-                          dtype=self.dtype)
+                          use_pallas=self.use_pallas, dtype=self.dtype)
         out = backbone(x, train=train, deterministic=deterministic)
         desc = SaladHead(
             num_clusters=self.num_clusters, cluster_dim=self.cluster_dim,

@@ -1,0 +1,124 @@
+r"""Fused end-to-end inference pipeline.
+
+Replaces the reference's missing `final_csv_generators/` stage (README.md:12
+documents it; the directory is absent from the snapshot — SURVEY.md §0).
+Its outputs are known: merged, sorted final CSVs combining geopose and angle
+predictions (`test_predictions_sorted.csv`, `test_pred.csv`).
+
+Here the whole chain runs batched on device in ONE jitted function per
+batch — descriptor extraction + retrieval against a reference index, geopose
+regression, and angle regression share the input batch; the host only sees
+final arrays:
+
+    images -> normalize ---> DINOv2+SALAD -> descriptors -> top-k matches
+                        \--> Swin-B      -> (lat, lon)
+                        \--> angle net   -> heading
+
+plus `export_fused_csvs` writing the combined submission files.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geovpr.data.pipeline import iterate_batches, prefetch_to_device
+from geovpr.data.transforms import normalize
+from geovpr.pipeline.export import (
+    write_angle_test_csv,
+    write_geopose_test_csv,
+)
+from geovpr.retrieval.index import DescriptorIndex
+
+
+@dataclasses.dataclass
+class FusedPipeline:
+    """Bundle of the three inference heads over one image stream.
+
+    Each component is (model, variables, postprocess). Any component may be
+    None — the pipeline emits only what it has (the reference likewise ran
+    geopose and angle exports from separate scripts)."""
+
+    geopose_model: Any = None
+    geopose_variables: Any = None
+    geopose_scaler: Any = None
+    angle_model: Any = None
+    angle_variables: Any = None
+    angle_codec: Any = None          # None => direct degrees head
+    descriptor_model: Any = None
+    descriptor_variables: Any = None
+    index: Optional[DescriptorIndex] = None
+    top_k: int = 5
+    mean: tuple = (0.485, 0.456, 0.406)
+    std: tuple = (0.229, 0.224, 0.225)
+    batch_size: int = 64
+    mesh: Any = None
+
+    def __post_init__(self):
+        self._step = jax.jit(self._forward)
+
+    def _forward(self, images):
+        x = normalize(images, self.mean, self.std)
+        out = {}
+        if self.geopose_model is not None:
+            preds = self.geopose_model.apply(
+                self.geopose_variables, x, train=False, deterministic=True)
+            if self.geopose_scaler is not None:
+                preds = self.geopose_scaler.inverse_transform(preds)
+            out["latlon"] = preds
+        if self.angle_model is not None:
+            raw = self.angle_model.apply(
+                self.angle_variables, x, train=False, deterministic=True)
+            if self.angle_codec is not None:
+                out["angle"] = self.angle_codec.decode(raw)
+            else:
+                out["angle"] = jnp.mod(raw[..., 0], 360.0)
+        if self.descriptor_model is not None:
+            out["descriptor"] = self.descriptor_model.apply(
+                self.descriptor_variables, x, train=False,
+                deterministic=True).pooled
+        return out
+
+    def run(self, source) -> dict[str, np.ndarray]:
+        """Run every component over `source`; returns dense arrays in source
+        order (+ retrieval results when an index is attached)."""
+        n = len(source)
+        results: dict[str, np.ndarray] = {}
+        for batch in prefetch_to_device(
+                iterate_batches(source, self.batch_size), self.mesh):
+            idx = batch.pop("_indices")
+            out = self._step(batch["image"])
+            for key, val in out.items():
+                val = np.asarray(val)[:len(idx)]
+                if key not in results:
+                    results[key] = np.zeros((n,) + val.shape[1:], val.dtype)
+                results[key][idx] = val
+        if self.index is not None and "descriptor" in results:
+            scores, nbrs = self.index.search(
+                jnp.asarray(results["descriptor"]), k=self.top_k)
+            results["retrieval_scores"] = np.asarray(scores)
+            results["retrieval_indices"] = np.asarray(nbrs)
+        return results
+
+    def export(self, source, out_dir: str,
+               filenames: Optional[list[str]] = None) -> dict[str, str]:
+        """Run + write the final submission CSVs (sorted by filename, the
+        missing final_csv_generators contract)."""
+        os.makedirs(out_dir, exist_ok=True)
+        names = filenames or source.filenames
+        results = self.run(source)
+        written = {}
+        if "latlon" in results:
+            path = os.path.join(out_dir, "test_predictions_sorted.csv")
+            write_geopose_test_csv(path, names, results["latlon"])
+            written["geopose"] = path
+        if "angle" in results:
+            path = os.path.join(out_dir, "test_pred.csv")
+            write_angle_test_csv(path, names, results["angle"])
+            written["angle"] = path
+        return written

