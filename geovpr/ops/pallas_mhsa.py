@@ -15,9 +15,11 @@ Rationale (measured on the attached TPU, B=256 N=257 D=768 H=12):
   confines the small per-head attention arithmetic to VMEM.
 
 Weights (~4.7 MB bf16) are grid-invariant, so Mosaic keeps them resident
-across programs. VMEM budget at bb=1, NP=384, D=768: weights 4.7 MB + the transient f32
-qkv (3.5 MB) + slabs/scratch ~4 MB, inside the 16 MB scoped limit (bb=2
-exceeds it via the doubled f32 intermediates).
+across programs. Rows are padded to the 16-sublane quantum only (N=257 ->
+272), not a full 128 tile: N is the sublane dim of every matmul, and 384-row
+padding cost 1.4x projection / 2.2x attention FLOPs. Measured at B=256
+N=257 D=768 H=12: XLA 9.4 ms/layer; this kernel 6.2 (bb=1, 384-pad) ->
+5.2 ms/layer (bb=2, 272-pad). bb=4 exceeds the 16 MB VMEM scope.
 """
 
 from __future__ import annotations
@@ -81,7 +83,7 @@ def _mhsa_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
 def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                      wqkv: jax.Array, bqkv: jax.Array,
                      wo: jax.Array, bo: jax.Array, gamma: jax.Array,
-                     num_heads: int, block_batch: int = 1,
+                     num_heads: int, block_batch: int = 2,
                      ln_eps: float = 1e-6) -> jax.Array:
     """Fused pre-LN attention block:
         out = x + gamma * MHSA(LN(x)) @ Wo
@@ -91,7 +93,11 @@ def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     b, n, d = x.shape
     dh = d // num_heads
     scale = dh ** -0.5
-    np_ = -(-n // 128) * 128
+    # pad rows only to the sublane quantum (16 for bf16) — padding to a full
+    # 128 lane tile costs 1.4x extra projection FLOPs and 2.2x extra
+    # attention FLOPs at ViT N=257 (384 vs 272 rows); Mosaic handles
+    # non-128 row counts fine since N is the *sublane* dim of every matmul
+    np_ = -(-n // 16) * 16
     if np_ != n:
         x = jnp.pad(x, [(0, 0), (0, np_ - n), (0, 0)])
     bb = block_batch
