@@ -111,6 +111,14 @@ class TrainConfig:
     mesh_shape: Optional[Sequence[int]] = None   # None => (n_devices,)
     mesh_axes: Sequence[str] = ("data",)
     donate_state: bool = True
+    # Observability (SURVEY.md §5 "Tracing / profiling" — absent in the
+    # reference; first-class here): capture a jax.profiler device trace of
+    # `profile_steps` train steps into <run_dir>/profile during epoch 0.
+    profile: bool = False
+    profile_steps: int = 5
+    # jit-purity/NaN debugging (§5 "Race detection / sanitizers" analog):
+    # turns on jax_debug_nans for the whole run.
+    debug_nans: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,6 +55,14 @@ class Trainer:
                                         f"training_{name}_{stamp}")
         os.makedirs(self.run_dir, exist_ok=True)
 
+        if self.train_cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+        # head-only warmup phase (dino_v2_gemini.py:187-222): train with the
+        # backbone frozen for `freeze_backbone_epochs`, then rebuild the
+        # optimizer (fresh Adam moments, as the reference does) unfrozen.
+        self._frozen_phase = self.optim_cfg.freeze_backbone_epochs > 0
+        self._total_steps = 0
+
         mean, std = self.data_cfg.mean, self.data_cfg.std
         self._normalize = lambda x: normalize(x, mean, std)
         aug = (build_augment(self.data_cfg.augment)
@@ -70,8 +78,25 @@ class Trainer:
                            has_batch_stats=self.has_batch_stats))
 
     # ------------------------------------------------------------------ setup
+    def _phase_optim_cfg(self):
+        if self._frozen_phase:
+            return dataclasses.replace(self.optim_cfg, backbone_lr_scale=0.0)
+        return self.optim_cfg
+
+    def _unfreeze(self):
+        """Switch to phase 2: full-model training with a rebuilt optimizer
+        (reference rebuilds from scratch at `dino_v2_gemini.py:204-212`)."""
+        self._frozen_phase = False
+        cfg = self.optim_cfg
+        if cfg.unfreeze_lr > 0:
+            cfg = dataclasses.replace(cfg, lr=cfg.unfreeze_lr)
+        tx = build_optimizer(cfg, params=None, total_steps=self._total_steps)
+        self.state = self.state.replace(
+            tx=tx, opt_state=tx.init(self.state.params))
+
     def init_state(self, sample_image_shape, total_steps: int = 0):
-        tx = build_optimizer(self.optim_cfg, params=None,
+        self._total_steps = total_steps
+        tx = build_optimizer(self._phase_optim_cfg(), params=None,
                              total_steps=total_steps)
         rng = jax.random.PRNGKey(self.train_cfg.seed)
         sample = jnp.zeros((1,) + tuple(sample_image_shape), jnp.float32)
@@ -99,16 +124,35 @@ class Trainer:
         plateau_bad = 0
 
         for epoch in range(epochs):
+            if (self._frozen_phase
+                    and epoch >= self.optim_cfg.freeze_backbone_epochs):
+                self._unfreeze()
             t0 = time.time()
             train_metrics = []
             batches = iterate_batches(
                 train_source, bs, shuffle=True, seed=cfg.seed, epoch=epoch,
                 drop_remainder=self.data_cfg.drop_remainder_train)
+            step_in_epoch = 0
+            profiling = False
             for batch in prefetch_to_device(batches, self.mesh,
                                             self.data_cfg.prefetch_depth):
                 batch.pop("_indices", None)
+                # device trace of a few steady-state steps (skip step 0: it
+                # is the compile step)
+                if (cfg.profile and epoch == 0 and step_in_epoch == 1
+                        and not profiling):
+                    jax.profiler.start_trace(
+                        os.path.join(self.run_dir, "profile"))
+                    profiling = True
                 self.state, m = self._train_step(self.state, batch)
                 train_metrics.append(m)
+                step_in_epoch += 1
+                if profiling and step_in_epoch >= 1 + cfg.profile_steps:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+            if profiling:
+                jax.profiler.stop_trace()
             train_loss = float(np.mean([float(m["loss"]) for m in train_metrics]))
             skipped = int(sum(float(m["skipped"]) for m in train_metrics))
 

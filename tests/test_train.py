@@ -216,3 +216,51 @@ class TestNaNSkip:
         params_after = jax.tree_util.tree_leaves(state.params)
         for x, y in zip(params_before, params_after):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+class TestFreezeUnfreeze:
+    def test_backbone_frozen_then_unfrozen(self, tmp_path):
+        """Head-only warmup then full-model training with a rebuilt optimizer
+        (dino_v2_gemini.py:187-222)."""
+        src = synthetic_geo_source(n=32)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = make_trainer(
+            GeoposeObjective(loss_name="mse"), 2, scaler=scaler,
+            save_dir=str(tmp_path),
+            optim_cfg=OptimConfig(lr=3e-3, schedule="constant",
+                                  freeze_backbone_epochs=1,
+                                  unfreeze_lr=1e-3))
+        tr.init_state((32, 32, 3), total_steps=4)
+        bb0 = jax.tree_util.tree_map(
+            np.array, jax.device_get(tr.state.params["backbone"]))
+        head0 = np.array(tr.state.params["head_out"]["kernel"])
+
+        tr.fit(src, epochs=1)
+        bb1 = jax.device_get(tr.state.params["backbone"])
+        flat0 = jax.tree_util.tree_leaves(bb0)
+        flat1 = jax.tree_util.tree_leaves(bb1)
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_array_equal(np.array(a), np.array(b))
+        assert not np.allclose(
+            head0, np.array(tr.state.params["head_out"]["kernel"]))
+
+        tr.fit(src, epochs=2)  # epoch counter restarts; epoch 1 >= 1 unfreezes
+        bb2 = jax.device_get(tr.state.params["backbone"])
+        changed = any(
+            not np.allclose(np.array(a), np.array(b))
+            for a, b in zip(flat0, jax.tree_util.tree_leaves(bb2)))
+        assert changed, "backbone did not train after unfreeze"
+        assert tr._frozen_phase is False
+
+
+class TestProfiler:
+    def test_profile_trace_written(self, tmp_path):
+        src = synthetic_geo_source(n=48)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = make_trainer(GeoposeObjective(loss_name="mse"), 2, scaler=scaler,
+                          save_dir=str(tmp_path))
+        tr.train_cfg = __import__("dataclasses").replace(
+            tr.train_cfg, profile=True, profile_steps=1)
+        tr.fit(src, epochs=1)
+        prof = os.path.join(tr.run_dir, "profile")
+        assert os.path.isdir(prof) and os.listdir(prof)
