@@ -95,7 +95,7 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window: int
-    use_pallas: bool = True
+    use_pallas: bool = False  # XLA wins at Swin window shapes (N=144, dh=32): 4.0 vs 4.2 ms/stage measured; kernel kept for larger windows
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -131,7 +131,7 @@ class SwinBlock(nn.Module):
     window: int
     shift: int
     drop_path: float = 0.0
-    use_pallas: bool = True
+    use_pallas: bool = False  # XLA wins at Swin window shapes (N=144, dh=32): 4.0 vs 4.2 ms/stage measured; kernel kept for larger windows
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -192,7 +192,7 @@ class SwinTransformer(nn.Module):
     image_size: int = 384
     patch_size: int = 4
     drop_path_rate: float = 0.1
-    use_pallas: bool = True
+    use_pallas: bool = False  # XLA wins at Swin window shapes (N=144, dh=32): 4.0 vs 4.2 ms/stage measured; kernel kept for larger windows
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact

@@ -1,0 +1,163 @@
+"""Pallas TPU kernel: block-local (shifted-)window attention for Swin.
+
+The reference's windowed attention lives inside the pretrained HF `SwinModel`
+(`swin_transformer/swin_attempt_2.py:117`) and runs as cuDNN dense attention
+per window. The TPU-native formulation (SURVEY.md §5 "long-context" row):
+window partitioning makes attention BLOCK-DIAGONAL over the token grid, so
+each grid program materializes only its windows' (N, N) score tiles in VMEM —
+the (H*W)^2 mask/score matrix never exists, and softmax+bias+shift-mask fuse
+into the two matmuls.
+
+Layout: the (BW, H, N, dh) head split is re-fused to rows of (BW*N, d) so
+every program does tall-skinny matmuls on lane-aligned slices (the same
+trick as `pallas_mhsa`):
+
+    per window w, head h:
+        s = q[wN:(w+1)N, h*dh:(h+1)dh] @ k[...].T * scale     (N, N) in VMEM
+        s += rel_pos_bias[h] (+ shift_mask[w])
+        out[rows, lanes] = softmax(s) @ v[rows, lanes]
+
+`wb` windows are packed per program so the row count wb*N is a multiple of
+the 8-sublane quantum even for N=49 (window 7). Autodiff: forward runs the
+kernel, backward re-derives gradients from the XLA reference implementation
+(recompute — cheaper than stashing N^2 probabilities to HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_wb(n: int, bw: int, nw: int) -> int:
+    """Windows per program: smallest wb making wb*n a sublane multiple,
+    while wb divides BW and (wb | nW or nW | wb)."""
+    wb = 1
+    while (wb * n) % 8 != 0:
+        wb *= 2
+    if bw % wb != 0:
+        return 0
+    if nw % wb != 0 and wb % nw != 0:
+        return 0
+    return wb
+
+
+def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
+            num_heads: int, n: int, wb: int, scale: float, mask_windows: int):
+    d = q_ref.shape[-1]
+    dh = d // num_heads
+    for w in range(wb):
+        rows = slice(w * n, (w + 1) * n)
+        # mask rows for this window inside the (mask_windows*n, n) block
+        mrows = slice((w % mask_windows) * n, (w % mask_windows + 1) * n)
+        m_w = mask_ref[mrows, :].astype(jnp.float32)
+        for h in range(num_heads):
+            lanes = slice(h * dh, (h + 1) * dh)
+            q = q_ref[rows, lanes].astype(jnp.float32)
+            k = k_ref[rows, lanes].astype(jnp.float32)
+            v = v_ref[rows, lanes]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = s + bias_ref[h * n:(h + 1) * n, :].astype(jnp.float32) + m_w
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            o_ref[rows, lanes] = o.astype(o_ref.dtype)
+
+
+def _forward(q, k, v, bias, mask, scale):
+    bw, num_heads, n, dh = q.shape
+    d = num_heads * dh
+    nw = 1 if mask is None else mask.shape[0]
+    wb = _pick_wb(n, bw, nw)
+    if wb == 0:
+        from geovpr.ops.window_attention import _window_attention_xla
+        return _window_attention_xla(q, k, v, bias, mask, scale)
+
+    def fuse(t):  # (BW, H, N, dh) -> (BW*N, H*dh)
+        return t.transpose(0, 2, 1, 3).reshape(bw * n, d)
+
+    qf, kf, vf = fuse(q), fuse(k), fuse(v)
+    bias_f = bias.reshape(num_heads * n, n)
+    if mask is None:
+        mask_f = jnp.zeros((wb * n, n), qf.dtype)
+        mask_windows = wb
+        mask_index = lambda i: (0, 0)
+    elif wb % nw == 0:
+        # program spans >= one full mask period: tile to wb windows
+        mask_f = jnp.tile(mask, (wb // nw, 1, 1)).reshape(wb * n, n)
+        mask_windows = wb
+        mask_index = lambda i: (0, 0)
+    else:
+        # wb divides nW: pick the right slab of the flattened mask
+        mask_f = mask.reshape(nw * n, n)
+        mask_windows = wb
+        mask_index = lambda i: (i % (nw // wb), 0)
+
+    grid = (bw // wb,)
+    kernel = functools.partial(_kernel, num_heads=num_heads, n=n, wb=wb,
+                               scale=scale, mask_windows=mask_windows)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bw * n, d), v.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((wb * n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb * n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb * n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads * n, n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mask_windows * n, n), mask_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb * n, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bw * num_heads * n * n * dh,
+            bytes_accessed=4 * bw * n * d * q.dtype.itemsize,
+            transcendentals=bw * num_heads * n * n),
+    )(qf, kf, vf, bias_f, mask_f)
+    return out.reshape(bw, n, num_heads, dh).transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def window_attention_pallas(q, k, v, bias, mask, scale):
+    """(BW, H, N, dh) block-local attention; see module docstring."""
+    return _forward(q, k, v, bias, mask, scale)
+
+
+def _fwd(q, k, v, bias, mask, scale):
+    return _forward(q, k, v, bias, mask, scale), (q, k, v, bias, mask)
+
+
+def _bwd(scale, res, g):
+    from geovpr.ops.window_attention import _window_attention_xla
+    q, k, v, bias, mask = res
+    if mask is None:
+        f = lambda q, k, v, bias: _window_attention_xla(q, k, v, bias, None,
+                                                        scale)
+        _, vjp = jax.vjp(f, q, k, v, bias)
+        dq, dk, dv, dbias = vjp(g)
+        return dq, dk, dv, dbias, None
+    _, vjp = jax.vjp(
+        lambda q, k, v, bias, mask: _window_attention_xla(q, k, v, bias, mask,
+                                                          scale),
+        q, k, v, bias, mask)
+    return vjp(g)
+
+
+window_attention_pallas.defvjp(_fwd, _bwd)

@@ -103,3 +103,63 @@ class TestAttentionOpDispatch:
         v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 3)))
         out = model.apply(v, jnp.zeros((2, 28, 28, 3)))
         assert out.tokens.shape == (2, 4, 32)
+
+
+class TestWindowAttentionPallas:
+    def _patch(self, monkeypatch):
+        import geovpr.ops.pallas_window_attention as m
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        return m
+
+    def _mk(self, bw, h, n, dh, nw, with_mask, seed=0):
+        rng = np.random.default_rng(seed)
+        q, k, v = (jnp.array(rng.normal(size=(bw, h, n, dh)), jnp.float32)
+                   for _ in range(3))
+        bias = jnp.array(rng.normal(size=(h, n, n)) * 0.2, jnp.float32)
+        mask = (jnp.array(np.where(rng.random((nw, n, n)) < 0.2, -100.0, 0.0),
+                          jnp.float32) if with_mask else None)
+        return q, k, v, bias, mask
+
+    @pytest.mark.parametrize("case", [
+        # (bw, heads, n, dh, nw, with_mask) — n=8: wb=1 slab path;
+        # n=4: wb=2, covering both "wb divides nW" and "tile" mask paths
+        (8, 2, 8, 4, 4, True),
+        (8, 2, 8, 4, 1, False),
+        (8, 2, 4, 4, 4, True),    # wb=2 | nW=4 -> slab index path
+        (8, 2, 4, 4, 2, True),    # wb=2 == nW -> tile path
+        (6, 2, 4, 4, 2, True),    # bw % wb != 0 -> XLA fallback
+    ])
+    def test_matches_xla(self, monkeypatch, case):
+        m = self._patch(monkeypatch)
+        from geovpr.ops.window_attention import _window_attention_xla
+        bw, h, n, dh, nw, with_mask = case
+        q, k, v, bias, mask = self._mk(bw, h, n, dh, nw, with_mask)
+        scale = dh ** -0.5
+        got = m.window_attention_pallas(q, k, v, bias, mask, scale)
+        want = _window_attention_xla(q, k, v, bias, mask, scale)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_grads_match_xla(self, monkeypatch):
+        m = self._patch(monkeypatch)
+        from geovpr.ops.window_attention import _window_attention_xla
+        q, k, v, bias, mask = self._mk(4, 2, 8, 4, 4, True)
+        scale = 0.5
+
+        def loss_pl(q, k, v, bias):
+            return jnp.sum(m.window_attention_pallas(q, k, v, bias, mask,
+                                                     scale) ** 2)
+
+        def loss_xla(q, k, v, bias):
+            return jnp.sum(_window_attention_xla(q, k, v, bias, mask,
+                                                 scale) ** 2)
+
+        g1 = jax.grad(loss_pl, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
