@@ -297,3 +297,133 @@ def convert_efficientnet_hf(state_dict: Mapping[str, Any]) -> dict:
     tb.p("head/conv/kernel", _conv(_np(sd["encoder.top_conv.weight"])))
     bn(tb, "head", sd, "encoder.top_bn")
     return tb.variables()
+
+
+def _interp_pos_embed(pos: np.ndarray, target_grid: int) -> np.ndarray:
+    """Bicubic-resize (1, 1+g*g, D) position embeddings to a new grid."""
+    src_grid = int(round((pos.shape[1] - 1) ** 0.5))
+    if src_grid == target_grid:
+        return pos
+    import jax
+    import jax.numpy as jnp
+
+    d = pos.shape[-1]
+    patch = pos[:, 1:].reshape(1, src_grid, src_grid, d)
+    patch = jax.image.resize(jnp.asarray(patch, jnp.float32),
+                             (1, target_grid, target_grid, d),
+                             method="bicubic")
+    patch = np.asarray(patch).reshape(1, target_grid * target_grid, d)
+    return np.concatenate([pos[:, :1], patch], axis=1)
+
+
+def convert_dinov2_facebook(state_dict: Mapping[str, Any],
+                            num_layers: int = 12,
+                            target_grid: int | None = None,
+                            prefix: str = "") -> dict:
+    """facebookresearch/dinov2 ViT state_dict (fused qkv, `blocks.N.*`
+    naming — the backbone inside `torch.hub.load("serizba/salad", ...)`,
+    `dinov2salad/dinov2salad_finetuning.py:19`) -> DinoV2 variables.
+
+    The fused `attn.qkv` weight (3D, D) is split into the separate
+    query/key/value kernels our model uses; position embeddings are
+    bicubically resized to `target_grid` at import time (the hub model does
+    this per forward).
+    """
+    tb = _TreeBuilder()
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+
+    def ln(f, t):
+        tb.p(f"{f}/scale", sd[f"{t}.weight"])
+        tb.p(f"{f}/bias", sd[f"{t}.bias"])
+
+    tb.p("cls_token", sd["cls_token"])
+    pos = _np(sd["pos_embed"])
+    if target_grid is not None:
+        pos = _interp_pos_embed(pos, target_grid)
+    tb.p("pos_embed", pos)
+    tb.p("patch_embed/kernel", _conv(_np(sd["patch_embed.proj.weight"])))
+    tb.p("patch_embed/bias", sd["patch_embed.proj.bias"])
+
+    for i in range(num_layers):
+        t = f"blocks.{i}"
+        f = f"block{i}"
+        ln(f"{f}/norm1", f"{t}.norm1")
+        qkv_w = _np(sd[f"{t}.attn.qkv.weight"])   # (3D, D) torch layout
+        qkv_b = _np(sd[f"{t}.attn.qkv.bias"])
+        d = qkv_w.shape[1]
+        for j, name in enumerate(("query", "key", "value")):
+            tb.p(f"{f}/attn/{name}/kernel",
+                 _linear(qkv_w[j * d:(j + 1) * d]))
+            tb.p(f"{f}/attn/{name}/bias", qkv_b[j * d:(j + 1) * d])
+        tb.p(f"{f}/attn/proj/kernel", _linear(_np(sd[f"{t}.attn.proj.weight"])))
+        tb.p(f"{f}/attn/proj/bias", sd[f"{t}.attn.proj.bias"])
+        tb.p(f"{f}/ls1/gamma", sd[f"{t}.ls1.gamma"])
+        ln(f"{f}/norm2", f"{t}.norm2")
+        tb.p(f"{f}/mlp/fc1/kernel", _linear(_np(sd[f"{t}.mlp.fc1.weight"])))
+        tb.p(f"{f}/mlp/fc1/bias", sd[f"{t}.mlp.fc1.bias"])
+        tb.p(f"{f}/mlp/fc2/kernel", _linear(_np(sd[f"{t}.mlp.fc2.weight"])))
+        tb.p(f"{f}/mlp/fc2/bias", sd[f"{t}.mlp.fc2.bias"])
+        tb.p(f"{f}/ls2/gamma", sd[f"{t}.ls2.gamma"])
+
+    ln("norm", "norm")
+    return tb.variables()
+
+
+def _conv1x1(w) -> np.ndarray:
+    """torch Conv2d 1x1 weight (out, in, 1, 1) -> Dense kernel (in, out)."""
+    w = _np(w)
+    return np.transpose(w[:, :, 0, 0], (1, 0))
+
+
+def convert_salad_hub(state_dict: Mapping[str, Any],
+                      num_layers: int = 12,
+                      target_grid: int = 16) -> dict:
+    """`torch.hub.load("serizba/salad", "dinov2_salad")` VPRModel state_dict
+    -> DinoV2Salad variables.
+
+    The hub model (the frozen descriptor black box of
+    `dinov2salad/dinov2salad_finetuning.py:19,92`) is
+    `backbone` (facebookresearch dinov2 ViT-B/14) + `aggregator` (SALAD):
+    two 1x1-conv MLPs for per-token features (768->512->cluster_dim) and
+    cluster scores (768->512->num_clusters), a Linear MLP for the global
+    token (768->512->token_dim), and a scalar `dust_bin`. Prefixes are
+    auto-detected so both `backbone.*` and `backbone.model.*` layouts load.
+    """
+    sd = dict(state_dict)
+    # locate prefixes
+    bb_prefix = None
+    for k in sd:
+        if k.endswith("cls_token"):
+            bb_prefix = k[: -len("cls_token")]
+            break
+    agg_prefix = None
+    for k in sd:
+        if k.endswith("dust_bin"):
+            agg_prefix = k[: -len("dust_bin")]
+            break
+    if bb_prefix is None or agg_prefix is None:
+        raise ValueError("state_dict does not look like a serizba/salad "
+                         "VPRModel (no cls_token / dust_bin keys)")
+
+    backbone = convert_dinov2_facebook(sd, num_layers=num_layers,
+                                       target_grid=target_grid,
+                                       prefix=bb_prefix)
+
+    tb = _TreeBuilder()
+    tb.params["backbone"] = backbone["params"]
+    a = agg_prefix
+    tb.p("salad/feat_fc1/kernel", _conv1x1(sd[f"{a}cluster_features.0.weight"]))
+    tb.p("salad/feat_fc1/bias", sd[f"{a}cluster_features.0.bias"])
+    tb.p("salad/feat_fc2/kernel", _conv1x1(sd[f"{a}cluster_features.2.weight"]))
+    tb.p("salad/feat_fc2/bias", sd[f"{a}cluster_features.2.bias"])
+    tb.p("salad/score_fc1/kernel", _conv1x1(sd[f"{a}score.0.weight"]))
+    tb.p("salad/score_fc1/bias", sd[f"{a}score.0.bias"])
+    tb.p("salad/score_fc2/kernel", _conv1x1(sd[f"{a}score.2.weight"]))
+    tb.p("salad/score_fc2/bias", sd[f"{a}score.2.bias"])
+    tb.p("salad/token_fc1/kernel", _linear(_np(sd[f"{a}token_features.0.weight"])))
+    tb.p("salad/token_fc1/bias", sd[f"{a}token_features.0.bias"])
+    tb.p("salad/token_fc2/kernel", _linear(_np(sd[f"{a}token_features.2.weight"])))
+    tb.p("salad/token_fc2/bias", sd[f"{a}token_features.2.bias"])
+    tb.p("salad/dustbin", np.asarray(_np(sd[f"{a}dust_bin"])).reshape(()))
+    return tb.variables()
