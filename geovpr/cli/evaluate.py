@@ -33,43 +33,26 @@ def main(argv=None):
     p.add_argument("--out-dir", default="")
     args = p.parse_args(argv)
 
-    from geovpr.cli.presets import build_preset, objective_for
     from geovpr.core.config import GeoposeConfig
     from geovpr.data.manifest import list_test_images, load_manifest
     from geovpr.data.pipeline import ImageFolderSource
-    from geovpr.parallel import create_mesh
     from geovpr.pipeline.export import (
         write_angle_test_csv,
         write_angle_validation_csv,
         write_geopose_test_csv,
         write_geopose_validation_csv,
     )
-    from geovpr.train import Trainer
-    from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
-    from geovpr.train.model import RegressionModel
 
-    cfg = build_preset(args.preset)
+    from geovpr.cli.common import load_trained
+
+    trainer, cfg = load_trained(args.preset, args.run_dir, args.checkpoint,
+                                image_root=args.image_root)
     is_geo = isinstance(cfg, GeoposeConfig)
     out_dir = args.out_dir or args.run_dir
     os.makedirs(out_dir, exist_ok=True)
 
     manifest = load_manifest(args.val_csv, args.image_root)
-    data = dataclasses.replace(cfg.data, image_root=args.image_root)
-
-    trainer = Trainer(
-        model=RegressionModel(config=cfg.model),
-        objective=objective_for(cfg),
-        optim_cfg=cfg.optim, train_cfg=cfg.train, data_cfg=data,
-        mesh=create_mesh(),
-        has_batch_stats=(cfg.model.family == "efficientnet"),
-        run_dir=out_dir)
-    trainer.init_state((data.image_size, data.image_size, 3))
-
-    if args.checkpoint == "latest":
-        ckpt = latest_checkpoint(args.run_dir)
-    else:
-        ckpt = os.path.join(args.run_dir, args.checkpoint)
-    trainer.state, _ = restore_checkpoint(ckpt, trainer.state)
+    data = trainer.data_cfg
 
     def make_source(paths, targets, names):
         return ImageFolderSource(paths=paths, targets=np.asarray(targets),

@@ -1,0 +1,139 @@
+"""Descriptor-retrieval entry point — the BASELINE north-star capability the
+reference never implemented (it consumed SALAD descriptors only as MLP input,
+`dinov2salad/dinov2salad_finetuning.py:35-36`; no nearest-neighbor code
+exists anywhere in the snapshot, SURVEY.md §0).
+
+    python -m geovpr.cli.retrieve \
+        --gallery-csv labels_train.csv --query-csv labels_val.csv \
+        --image-root dataset/images --out-dir out \
+        [--variables salad.msgpack] [--top-k 5] [--positive-radius 25]
+
+Extracts DINOv2+SALAD descriptors for gallery and queries (jit-batched,
+bf16), builds an HBM-resident index sharded over the mesh's data axis,
+searches cosine top-k on device, reports proximity Recall@k (a query is
+solved if any top-k match lies within --positive-radius meters — the labels
+are a meters-scale grid), and writes `retrieval_matches.csv`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+
+import numpy as np
+
+
+def extract_descriptors(model, variables, source, batch_size: int,
+                        mesh=None) -> np.ndarray:
+    """Jit-batched descriptor extraction over an image source."""
+    import jax
+    import jax.numpy as jnp
+
+    from geovpr.data.pipeline import iterate_batches, prefetch_to_device
+    from geovpr.data.transforms import normalize
+
+    @jax.jit
+    def step(v, images):
+        x = normalize(images)
+        return model.apply(v, x, train=False, deterministic=True).pooled
+
+    if mesh is not None and batch_size % mesh.devices.size != 0:
+        mesh = None  # batch can't shard evenly; run replicated
+    n = len(source)
+    out = None
+    for batch in prefetch_to_device(iterate_batches(source, batch_size),
+                                    mesh):
+        idx = batch.pop("_indices")
+        desc = np.asarray(step(variables, batch["image"]), np.float32)
+        if out is None:
+            out = np.zeros((n, desc.shape[-1]), np.float32)
+        out[idx] = desc[:len(idx)]
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--gallery-csv", required=True)
+    p.add_argument("--query-csv", required=True)
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--out-dir", default="retrieval_out")
+    p.add_argument("--variables", default="",
+                   help="flax msgpack of DinoV2Salad variables (e.g. from "
+                        "convert_salad_hub); random init if omitted")
+    p.add_argument("--variant", default="base-14",
+                   help="DINOv2 variant (base-14 | small-14 | large-14)")
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--positive-radius", type=float, default=25.0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from geovpr.data.manifest import load_manifest
+    from geovpr.data.pipeline import ImageFolderSource
+    from geovpr.models.salad import DinoV2Salad
+    from geovpr.parallel import create_mesh
+    from geovpr.retrieval.index import DescriptorIndex, recall_at_k_radius
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    gallery = load_manifest(args.gallery_csv, args.image_root)
+    queries = load_manifest(args.query_csv, args.image_root)
+
+    model = DinoV2Salad(variant=args.variant, image_size=args.image_size,
+                        dtype=jnp.bfloat16)
+    if args.variables:
+        from flax.serialization import msgpack_restore
+        with open(args.variables, "rb") as f:
+            variables = msgpack_restore(f.read())
+    else:
+        print("WARNING: no --variables given; using random init "
+              "(descriptors will not be meaningful)")
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, args.image_size, args.image_size, 3)))
+
+    def source(m):
+        return ImageFolderSource(paths=m.paths(),
+                                 targets=np.asarray(m.latlon),
+                                 image_size=args.image_size,
+                                 filenames=m.filenames)
+
+    mesh = create_mesh()
+    g_desc = extract_descriptors(model, variables, source(gallery),
+                                 args.batch_size, mesh)
+    q_desc = extract_descriptors(model, variables, source(queries),
+                                 args.batch_size, mesh)
+
+    index = DescriptorIndex(dim=g_desc.shape[-1], mesh=mesh).build(g_desc)
+    scores, nbrs = index.search(jnp.asarray(q_desc), k=args.top_k)
+    scores, nbrs = np.asarray(scores), np.asarray(nbrs)
+
+    recalls = {
+        f"recall@{k}": float(recall_at_k_radius(
+            jnp.asarray(nbrs), jnp.asarray(queries.latlon, jnp.float32),
+            jnp.asarray(gallery.latlon, jnp.float32),
+            args.positive_radius, k))
+        for k in (1, min(5, args.top_k), args.top_k)
+    }
+
+    path = os.path.join(args.out_dir, "retrieval_matches.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["query_filename", "rank", "match_filename", "score"])
+        for qi, qname in enumerate(queries.filenames):
+            for rank in range(args.top_k):
+                w.writerow([qname, rank + 1,
+                            gallery.filenames[int(nbrs[qi, rank])],
+                            f"{scores[qi, rank]:.6f}"])
+
+    print(json.dumps({"gallery_size": index.size,
+                      "num_queries": len(queries.filenames),
+                      **recalls, "matches_csv": path}))
+
+
+if __name__ == "__main__":
+    main()

@@ -106,6 +106,7 @@ def prefetch_to_device(iterator, mesh=None, depth: int = 2):
     import jax
 
     from geovpr.parallel import shard_batch
+    from geovpr.parallel.mesh import pad_batch_to_multiple
 
     queue = collections.deque()
 
@@ -113,6 +114,16 @@ def prefetch_to_device(iterator, mesh=None, depth: int = 2):
         host = {k: v for k, v in batch.items() if not k.startswith("_")}
         extras = {k: v for k, v in batch.items() if k.startswith("_")}
         if mesh is not None:
+            # batch rows must divide the data axis; pad the tail (masked
+            # rows are excluded from losses/metrics downstream)
+            n_shards = (mesh.shape.get("data", 1)
+                        if hasattr(mesh.shape, "get") else mesh.devices.size)
+            n = next(iter(host.values())).shape[0]
+            if n % n_shards != 0:
+                old_mask = host.get("mask")
+                host, pad_mask = pad_batch_to_multiple(host, n_shards)
+                host["mask"] = (np.logical_and(host["mask"], pad_mask)
+                                if old_mask is not None else pad_mask)
             dev = shard_batch(mesh, host)
         else:
             dev = jax.tree_util.tree_map(jax.device_put, host)

@@ -134,3 +134,16 @@ class DescriptorIndex:
             # top_k, but the static VMA checker cannot prove it
             check_vma=False)
         return jax.jit(fn)(self._db, q)
+
+
+def recall_at_k_radius(retrieved_idx: jax.Array, query_latlon: jax.Array,
+                       gallery_latlon: jax.Array, radius: float,
+                       k: int) -> jax.Array:
+    """Proximity Recall@k — the standard VPR protocol (a query is solved if
+    ANY of its top-k matches lies within `radius` of the true position; the
+    label grid is meters-scale, SURVEY.md §0). retrieved_idx: (Q, >=k) into
+    the gallery; query/gallery latlon: (Q|N, 2)."""
+    cand = gallery_latlon[retrieved_idx[:, :k]]            # (Q, k, 2)
+    d2 = jnp.sum((cand - query_latlon[:, None, :]) ** 2, axis=-1)
+    hits = jnp.any(d2 <= radius * radius, axis=1)
+    return jnp.mean(hits.astype(jnp.float32))

@@ -134,3 +134,75 @@ class TestFusedPipeline:
         pipe._step = jax.jit(pipe._forward)
         out = pipe.run(src)
         assert set(out.keys()) == {"latlon"}
+
+
+class TestRetrieveCli:
+    def _write_dataset(self, root, n_gallery=10, n_query=3):
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        img_dir = os.path.join(root, "images")
+        os.makedirs(img_dir, exist_ok=True)
+
+        def write_rows(path, names, lats, lons):
+            with open(path, "w") as f:
+                f.write("filename,timestamp,latitude,longitude,angle,Region_ID\n")
+                for nm, la, lo in zip(names, lats, lons):
+                    f.write(f"{nm},0,{la},{lo},90.0,1\n")
+
+        def make(count, prefix):
+            names, lats, lons = [], [], []
+            for i in range(count):
+                nm = f"{prefix}_{i:03d}.jpg"
+                arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(img_dir, nm))
+                names.append(nm)
+                lats.append(219000.0 + i * 10.0)
+                lons.append(143000.0 + i * 10.0)
+            return names, lats, lons
+
+        g = make(n_gallery, "g")
+        q = make(n_query, "q")
+        write_rows(os.path.join(root, "gallery.csv"), *g)
+        write_rows(os.path.join(root, "query.csv"), *q)
+        return img_dir
+
+    def test_end_to_end(self, tmp_path, capsys):
+        import json
+        from geovpr.cli.retrieve import main
+
+        root = str(tmp_path)
+        img_dir = self._write_dataset(root)
+        main(["--gallery-csv", os.path.join(root, "gallery.csv"),
+              "--query-csv", os.path.join(root, "query.csv"),
+              "--image-root", img_dir,
+              "--out-dir", os.path.join(root, "out"),
+              "--variant", "small-14", "--image-size", "28",
+              "--batch-size", "4", "--top-k", "3"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["gallery_size"] == 10 and out["num_queries"] == 3
+        assert 0.0 <= out["recall@1"] <= 1.0
+        with open(out["matches_csv"], newline="") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 3 * 3
+        assert set(r["query_filename"] for r in rows) == {
+            "q_000.jpg", "q_001.jpg", "q_002.jpg"}
+
+
+class TestFuseCli:
+    def test_requires_a_head(self, tmp_path):
+        from geovpr.cli.fuse import main
+        with pytest.raises(SystemExit):
+            main(["--test-dir", str(tmp_path)])
+
+
+class TestRecallRadius:
+    def test_proximity_recall(self):
+        from geovpr.retrieval.index import recall_at_k_radius
+        gallery = jnp.array([[0.0, 0.0], [100.0, 0.0], [200.0, 0.0]])
+        queries = jnp.array([[5.0, 0.0], [195.0, 0.0]])
+        # q0's true nbr is g0 (5m), q1's is g2 (5m)
+        retrieved = jnp.array([[1, 0], [0, 1]])  # ranks: q0 ->(g1,g0), q1 ->(g0,g1)
+        assert float(recall_at_k_radius(retrieved, queries, gallery, 25.0, 1)) == 0.0
+        assert float(recall_at_k_radius(retrieved, queries, gallery, 25.0, 2)) == 0.5
+        retrieved = jnp.array([[0, 1], [2, 0]])
+        assert float(recall_at_k_radius(retrieved, queries, gallery, 25.0, 1)) == 1.0
