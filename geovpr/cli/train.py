@@ -70,11 +70,17 @@ def main(argv=None):
 
     def make_source(manifest):
         targets = manifest.latlon if is_geo else manifest.angle
-        return ImageFolderSource(
+        source = ImageFolderSource(
             paths=manifest.paths(), targets=np.asarray(targets),
             image_size=data.image_size,
             num_threads=data.num_decode_threads,
-            filenames=manifest.filenames)
+            filenames=manifest.filenames,
+            decoder=data.decoder)
+        if data.cache_decoded:
+            from geovpr.data.pipeline import CachedImageSource
+            path = "" if data.cache_decoded == "ram" else data.cache_decoded
+            source = CachedImageSource(source, cache_path=path)
+        return source
 
     model = RegressionModel(config=cfg.model)
     trainer = Trainer(

@@ -41,6 +41,10 @@ class DataConfig:
     num_decode_threads: int = 8
     prefetch_depth: int = 2
     drop_remainder_train: bool = True
+    decoder: str = "pil"       # pil | native (C++ libjpeg, PIL fallback)
+    # cache decoded+resized images after first epoch: "" off, "ram", or a
+    # .npy path for a disk memmap (datasets larger than memory)
+    cache_decoded: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +68,7 @@ class ModelConfig:
     pooling: str = "pooler"
     freeze_backbone: bool = False  # frozen-descriptor path, dinov2salad_finetuning.py:25-26
     use_pallas: bool = True        # Pallas kernels where available (else pure-XLA path)
+    remat: bool = False            # jax.checkpoint each block: activation memory O(1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +111,10 @@ class TrainConfig:
     checkpoint_every: int = 1
     keep_checkpoints: int = 3
     skip_nonfinite_updates: bool = True  # NaN-skip, swin_angle_finetuning_sin_cos.py:110-112
+    # Orbax AsyncCheckpointer: disk writes overlap the next epoch's compute;
+    # atomic tmp->rename makes mid-write preemption safe (SURVEY.md §5
+    # "Failure detection" — the reference's torch.save has neither property)
+    async_checkpoint: bool = False
     log_every_steps: int = 50
     # Mesh: data-parallel axis plus optional model axis for TP.
     mesh_shape: Optional[Sequence[int]] = None   # None => (n_devices,)

@@ -52,6 +52,10 @@ class ImageFolderSource:
     image_size: int = 224
     num_threads: int = 8
     filenames: Optional[list[str]] = None
+    # "pil" (default, matches the HF-processor bilinear resize the reference
+    # relies on) or "native" (C++ libjpeg decoder, geovpr/data/decoder.py —
+    # ~1.9x faster per thread; falls back to PIL per-file on failure)
+    decoder: str = "pil"
 
     def __post_init__(self):
         self._pool = concurrent.futures.ThreadPoolExecutor(self.num_threads)
@@ -67,8 +71,55 @@ class ImageFolderSource:
             return np.asarray(img, np.uint8)
 
     def get_batch(self, idx: np.ndarray) -> dict:
-        imgs = list(self._pool.map(self._decode, [self.paths[i] for i in idx]))
+        batch_paths = [self.paths[i] for i in idx]
+        if self.decoder == "native":
+            from geovpr.data.decoder import decode_files
+            imgs, _ok = decode_files(batch_paths, self.image_size,
+                                     self.image_size,
+                                     threads=self.num_threads)
+            return {"image": imgs, "target": self.targets[idx]}
+        imgs = list(self._pool.map(self._decode, batch_paths))
         return {"image": np.stack(imgs), "target": self.targets[idx]}
+
+
+@dataclasses.dataclass
+class CachedImageSource:
+    """Caches decoded+resized uint8 images from an inner source.
+
+    First touch of a row pays the JPEG decode; every later epoch reads the
+    cached array (RAM, or a disk memmap via `cache_path` for datasets larger
+    than memory). At >2k img/s/chip device throughput, host JPEG decode is
+    the input-pipeline bottleneck (SURVEY.md §7 "hard parts") — after epoch
+    0 this removes it entirely.
+    """
+
+    inner: object
+    cache_path: str = ""   # "" => RAM; else .npy memmap on disk
+
+    def __post_init__(self):
+        n = len(self.inner)
+        s = self.inner.image_size
+        shape = (n, s, s, 3)
+        if self.cache_path:
+            self._cache = np.lib.format.open_memmap(
+                self.cache_path, mode="w+", dtype=np.uint8, shape=shape)
+        else:
+            self._cache = np.zeros(shape, np.uint8)
+        self._have = np.zeros(n, bool)
+        self.filenames = getattr(self.inner, "filenames", None)
+        self.targets = self.inner.targets
+        self.image_size = s
+
+    def __len__(self):
+        return len(self.inner)
+
+    def get_batch(self, idx: np.ndarray) -> dict:
+        missing = np.unique(idx[~self._have[idx]])
+        if missing.size:
+            decoded = self.inner.get_batch(missing)
+            self._cache[missing] = decoded["image"]
+            self._have[missing] = True
+        return {"image": self._cache[idx], "target": self.targets[idx]}
 
 
 def iterate_batches(

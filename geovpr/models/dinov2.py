@@ -180,6 +180,10 @@ class DinoV2(nn.Module):
     layerscale_init: float = 1.0
     drop_path_rate: float = 0.0
     use_pallas: bool = False
+    # rematerialize each block on backward (jax.checkpoint): trades ~33%
+    # extra forward FLOPs for O(layers) -> O(1) activation memory — enables
+    # larger per-chip batches for the big-backbone configs
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -205,12 +209,14 @@ class DinoV2(nn.Module):
                             axis=1)
         x = x + pos.astype(self.dtype)
 
+        block_cls = (nn.remat(DinoV2Block, static_argnums=(2,))
+                     if self.remat else DinoV2Block)
         for i in range(self.num_layers):
-            x = DinoV2Block(self.hidden_size, self.num_heads,
-                            layerscale_init=self.layerscale_init,
-                            drop_path=self.drop_path_rate,
-                            use_pallas=self.use_pallas,
-                            name=f"block{i}", dtype=self.dtype)(x, deterministic)
+            x = block_cls(self.hidden_size, self.num_heads,
+                          layerscale_init=self.layerscale_init,
+                          drop_path=self.drop_path_rate,
+                          use_pallas=self.use_pallas,
+                          name=f"block{i}", dtype=self.dtype)(x, deterministic)
 
         norm_scale, norm_bias = PScaleBias(self.hidden_size, name="norm")()
         x = _layer_norm(x, norm_scale, norm_bias)

@@ -19,13 +19,13 @@ def build_backbone(cfg: ModelConfig, dtype=jnp.float32):
         if cfg.variant not in SWIN_VARIANTS:
             raise ValueError(f"unknown swin variant {cfg.variant!r}")
         return SwinTransformer(**SWIN_VARIANTS[cfg.variant], dtype=dtype,
-                               use_pallas=cfg.use_pallas)
+                               use_pallas=cfg.use_pallas, remat=cfg.remat)
     if family == "dinov2":
         from geovpr.models.dinov2 import DinoV2, DINOV2_VARIANTS
         if cfg.variant not in DINOV2_VARIANTS:
             raise ValueError(f"unknown dinov2 variant {cfg.variant!r}")
         return DinoV2(**DINOV2_VARIANTS[cfg.variant], dtype=dtype,
-                      use_pallas=cfg.use_pallas)
+                      use_pallas=cfg.use_pallas, remat=cfg.remat)
     if family == "dinov2_salad":
         from geovpr.models.salad import DinoV2Salad
         return DinoV2Salad(dtype=dtype, use_pallas=cfg.use_pallas)

@@ -193,6 +193,9 @@ class SwinTransformer(nn.Module):
     patch_size: int = 4
     drop_path_rate: float = 0.1
     use_pallas: bool = False  # XLA wins at Swin window shapes (N=144, dh=32): 4.0 vs 4.2 ms/stage measured; kernel kept for larger windows
+    # rematerialize blocks on backward — Swin-B-384's stage-1 activations
+    # (9216 tokens) dominate memory; remat trades FLOPs for per-chip batch
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -216,12 +219,14 @@ class SwinTransformer(nn.Module):
         dprates = np.linspace(0, self.drop_path_rate, total_blocks)
         block_i = 0
         dim = self.embed_dim
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
+                     if self.remat else SwinBlock)
         for stage_i, depth in enumerate(self.depths):
             for layer_i in range(depth):
                 shift = 0 if layer_i % 2 == 0 else self.window_size // 2
                 if res <= self.window_size:
                     shift = 0
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim, num_heads=self.num_heads[stage_i], resolution=res,
                     window=min(self.window_size, res), shift=shift,
                     drop_path=float(dprates[block_i]),

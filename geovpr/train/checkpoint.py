@@ -37,15 +37,58 @@ def _to_save(state: TrainState) -> dict:
     }
 
 
+_ASYNC_CKPTR = None
+_PENDING_METADATA: list = []
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def _flush_metadata():
+    import json
+
+    while _PENDING_METADATA:
+        path, epoch, metrics = _PENDING_METADATA.pop()
+        with open(os.path.join(path, "run_metrics.json"), "w") as f:
+            json.dump({"epoch": epoch, **{k: float(v) for k, v in
+                                          (metrics or {}).items()}}, f)
+
+
+def wait_for_saves():
+    """Block until all in-flight async checkpoint writes land (atomic on
+    completion — Orbax renames from a tmp dir, so preemption mid-write never
+    leaves a truncated checkpoint)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+    _flush_metadata()
+
+
 def save_checkpoint(path: str, state: TrainState, epoch: int,
-                    metrics: Optional[dict] = None):
+                    metrics: Optional[dict] = None,
+                    async_save: bool = False):
     import json
 
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    payload = {"state": _to_save(state), "epoch": np.int64(epoch)}
+    if async_save:
+        # device->host copy happens synchronously inside save(); the disk
+        # write proceeds on a background thread while training continues.
+        # The metrics sidecar is deferred to wait_for_saves() — the target
+        # dir must not exist before Orbax's atomic tmp->final rename.
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()
+        _flush_metadata()
+        ckptr.save(path, payload, force=True)
+        _PENDING_METADATA.append((path, epoch, metrics))
+        return
     with ocp.PyTreeCheckpointer() as ckptr:
-        payload = {"state": _to_save(state), "epoch": np.int64(epoch)}
         ckptr.save(path, payload, force=True)
     # metrics are human-readable metadata, not restore targets
     with open(os.path.join(path, "run_metrics.json"), "w") as f:
@@ -76,12 +119,24 @@ def restore_checkpoint(path: str, state: TrainState) -> tuple[TrainState, int]:
     return new_state, epoch
 
 
+def checkpoint_epoch(dirname: str) -> Optional[int]:
+    """`checkpoint_{epoch}` -> epoch; None for anything else (incl. Orbax
+    in-flight `*.orbax-checkpoint-tmp-*` dirs from async saves)."""
+    if not dirname.startswith("checkpoint_"):
+        return None
+    try:
+        return int(dirname.split("_", 1)[1])
+    except ValueError:
+        return None
+
+
 def latest_checkpoint(run_dir: str) -> Optional[str]:
     """Find the newest `checkpoint_{epoch}` dir under a run dir."""
     if not os.path.isdir(run_dir):
         return None
-    cands = [d for d in os.listdir(run_dir) if d.startswith("checkpoint_")]
+    cands = [d for d in os.listdir(run_dir)
+             if checkpoint_epoch(d) is not None]
     if not cands:
         return None
-    best = max(cands, key=lambda d: int(d.split("_")[1]))
+    best = max(cands, key=checkpoint_epoch)
     return os.path.join(run_dir, best)

@@ -187,14 +187,15 @@ class Trainer:
                     best_epoch = epoch
                     bad_epochs = 0
                     save_checkpoint(os.path.join(self.run_dir, "best"),
-                                    self.state, epoch, val)
+                                    self.state, epoch, val,
+                                    async_save=cfg.async_checkpoint)
                 else:
                     bad_epochs += 1
 
             if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
                 save_checkpoint(
                     os.path.join(self.run_dir, f"checkpoint_{epoch}"),
-                    self.state, epoch)
+                    self.state, epoch, async_save=cfg.async_checkpoint)
                 self._prune_checkpoints()
 
             self.history.append(record)
@@ -205,6 +206,9 @@ class Trainer:
                     and bad_epochs >= cfg.early_stop_patience):
                 break
 
+        if cfg.async_checkpoint:
+            from geovpr.train.checkpoint import wait_for_saves
+            wait_for_saves()
         self.history_summary = {"best": best, "best_epoch": best_epoch}
         return self.history
 
@@ -212,9 +216,11 @@ class Trainer:
         keep = self.train_cfg.keep_checkpoints
         if not keep:
             return
+        from geovpr.train.checkpoint import checkpoint_epoch
         cands = sorted(
-            (d for d in os.listdir(self.run_dir) if d.startswith("checkpoint_")),
-            key=lambda d: int(d.split("_")[1]))
+            (d for d in os.listdir(self.run_dir)
+             if checkpoint_epoch(d) is not None),  # skips Orbax tmp dirs
+            key=checkpoint_epoch)
         for d in cands[:-keep]:
             import shutil
             shutil.rmtree(os.path.join(self.run_dir, d), ignore_errors=True)

@@ -56,3 +56,63 @@ def test_select_subset(reference_root):
     sub = m.select([0, 2])
     assert len(sub) == 2
     assert sub.filenames[0] == m.filenames[0]
+
+
+class TestCachedImageSource:
+    def test_cache_hits_and_matches(self, tmp_path):
+        from PIL import Image
+        from geovpr.data.pipeline import CachedImageSource, ImageFolderSource
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(6):
+            p = str(tmp_path / f"im_{i}.jpg")
+            Image.fromarray(
+                rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)).save(p)
+            paths.append(p)
+        targets = np.arange(12, dtype=np.float32).reshape(6, 2)
+        inner = ImageFolderSource(paths=paths, targets=targets, image_size=24)
+        src = CachedImageSource(inner)
+
+        idx = np.array([0, 2, 2, 5])
+        first = src.get_batch(idx)
+        want = inner.get_batch(idx)
+        np.testing.assert_array_equal(first["image"], want["image"])
+        # second fetch comes from cache even if the file vanishes
+        os.remove(paths[2])
+        again = src.get_batch(np.array([2]))
+        np.testing.assert_array_equal(again["image"][0], want["image"][1])
+        np.testing.assert_array_equal(first["target"], targets[idx])
+
+    def test_memmap_backed(self, tmp_path):
+        from PIL import Image
+        from geovpr.data.pipeline import CachedImageSource, ImageFolderSource
+
+        p = str(tmp_path / "a.jpg")
+        Image.fromarray(np.full((16, 16, 3), 90, np.uint8)).save(p)
+        inner = ImageFolderSource(paths=[p], targets=np.zeros((1, 1)),
+                                  image_size=16)
+        src = CachedImageSource(inner, cache_path=str(tmp_path / "cache.npy"))
+        out = src.get_batch(np.array([0]))
+        assert out["image"].shape == (1, 16, 16, 3)
+        assert os.path.exists(tmp_path / "cache.npy")
+
+
+class TestNativeDecoderSource:
+    def test_native_matches_shape_and_content(self, tmp_path):
+        from PIL import Image
+        from geovpr.data.pipeline import ImageFolderSource
+
+        rng = np.random.default_rng(1)
+        p = str(tmp_path / "x.jpg")
+        arr = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(p, quality=95)
+        pil = ImageFolderSource(paths=[p], targets=np.zeros((1, 1)),
+                                image_size=16).get_batch(np.array([0]))
+        nat = ImageFolderSource(paths=[p], targets=np.zeros((1, 1)),
+                                image_size=16,
+                                decoder="native").get_batch(np.array([0]))
+        assert nat["image"].shape == pil["image"].shape
+        # different resize filters, same underlying image
+        diff = np.abs(nat["image"].astype(int) - pil["image"].astype(int))
+        assert diff.mean() < 30

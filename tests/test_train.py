@@ -264,3 +264,54 @@ class TestProfiler:
         tr.fit(src, epochs=1)
         prof = os.path.join(tr.run_dir, "profile")
         assert os.path.isdir(prof) and os.listdir(prof)
+
+
+class TestAsyncCheckpoint:
+    def test_async_roundtrip(self, tmp_path):
+        import dataclasses as dc
+        from geovpr.train.checkpoint import restore_checkpoint, wait_for_saves
+
+        src = synthetic_geo_source(n=32)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = make_trainer(GeoposeObjective(loss_name="mse"), 2, scaler=scaler,
+                          save_dir=str(tmp_path))
+        tr.train_cfg = dc.replace(tr.train_cfg, checkpoint_every=1,
+                                  async_checkpoint=True)
+        tr.fit(src, val_source=src, epochs=2)
+        wait_for_saves()
+        best = os.path.join(tr.run_dir, "best")
+        assert os.path.exists(os.path.join(best, "run_metrics.json"))
+        state2, epoch = restore_checkpoint(best, tr.state)
+        assert epoch in (0, 1)
+        a = jax.tree_util.tree_leaves(tr.state.params)[0]
+        b = jax.tree_util.tree_leaves(state2.params)[0]
+        assert np.asarray(a).shape == np.asarray(b).shape
+
+
+class TestRemat:
+    def test_remat_model_trains_identically(self, tmp_path):
+        """remat must not change values — same init, same one-step update."""
+        from geovpr.models.dinov2 import DinoV2
+        import flax.linen as nn
+
+        x = jnp.array(np.random.default_rng(0).normal(size=(2, 28, 28, 3)),
+                      jnp.float32)
+
+        def run(remat):
+            m = DinoV2(hidden_size=32, num_layers=2, num_heads=4,
+                       patch_size=14, image_size=28, remat=remat)
+            v = m.init(jax.random.PRNGKey(0), x)
+
+            def loss(params):
+                return jnp.sum(m.apply({"params": params}, x).pooled ** 2)
+
+            l, g = jax.value_and_grad(loss)(v["params"])
+            return l, g
+
+        l1, g1 = run(False)
+        l2, g2 = run(True)
+        assert np.allclose(float(l1), float(l2), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g1),
+                        jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
