@@ -59,8 +59,11 @@ def _mhsa_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     for e in range(bb):
         rows = slice(e * np_, (e + 1) * np_)
         for h in range(num_heads):
-            q = qkv[rows, h * dh:(h + 1) * dh].astype(jnp.float32)
-            k = qkv[rows, d + h * dh:d + (h + 1) * dh].astype(jnp.float32)
+            # bf16 inputs with f32 accumulation — the MXU truncates to bf16
+            # anyway (measured bit-identical), and f32 operands cost extra
+            # passes
+            q = qkv[rows, h * dh:(h + 1) * dh]
+            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
             v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
