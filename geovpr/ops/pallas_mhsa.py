@@ -83,6 +83,38 @@ def _mhsa_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _mhsa_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
+                    num_heads: int, ln_eps: float):
+    """jnp reference of the fused block — used for the backward pass
+    (recompute beats stashing the N^2 probabilities to HBM) and as the
+    numeric oracle in tests."""
+    b, n, d = x.shape
+    dh = d // num_heads
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+         * ln_scale.astype(jnp.float32)
+         + ln_bias.astype(jnp.float32)).astype(x.dtype)
+    qkv = (jnp.dot(h, wqkv, preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, n, num_heads, dh).transpose(0, 2, 1, 3)
+
+    s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k),
+                   preferred_element_type=jnp.float32) * dh ** -0.5
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), heads(v),
+                   preferred_element_type=jnp.float32)
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, d)
+    out = (jnp.dot(o.astype(x.dtype), wo,
+                   preferred_element_type=jnp.float32)
+           + bo.astype(jnp.float32))
+    return (out * gamma.astype(jnp.float32) + xf).astype(x.dtype)
+
+
 def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                      wqkv: jax.Array, bqkv: jax.Array,
                      wo: jax.Array, bo: jax.Array, gamma: jax.Array,
@@ -92,7 +124,36 @@ def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         out = x + gamma * MHSA(LN(x)) @ Wo
     x: (B, N, D). wqkv: (D, 3D) with q|k|v column blocks; wo: (D, D);
     gamma: (D,) LayerScale (pass ones for plain ViT).
+
+    Differentiable: forward runs the Pallas kernel; the backward pass
+    recomputes through the XLA reference formulation via a custom VJP, so
+    the kernel is usable inside training steps.
     """
+
+    @jax.custom_vjp
+    def run(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma):
+        return _fused_mhsa_pallas(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                                  gamma, num_heads=num_heads,
+                                  block_batch=block_batch, ln_eps=ln_eps)
+
+    def fwd(*args):
+        return run(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: _mhsa_block_xla(*a, num_heads=num_heads,
+                                       ln_eps=ln_eps), *res)
+        return vjp(g)
+
+    run.defvjp(fwd, bwd)
+    return run(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma)
+
+
+def _fused_mhsa_pallas(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                       wqkv: jax.Array, bqkv: jax.Array,
+                       wo: jax.Array, bo: jax.Array, gamma: jax.Array,
+                       num_heads: int, block_batch: int = 2,
+                       ln_eps: float = 1e-6) -> jax.Array:
     b, n, d = x.shape
     dh = d // num_heads
     scale = dh ** -0.5
