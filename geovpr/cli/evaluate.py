@@ -56,7 +56,8 @@ def main(argv=None):
 
     def make_source(paths, targets, names):
         return ImageFolderSource(paths=paths, targets=np.asarray(targets),
-                                 image_size=data.image_size, filenames=names)
+                                 image_size=data.image_size, filenames=names,
+                                 resize_to=data.eval_resize_to)
 
     targets = manifest.latlon if is_geo else manifest.angle
     val_source = make_source(manifest.paths(), targets, manifest.filenames)

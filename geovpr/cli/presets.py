@@ -84,7 +84,7 @@ GEOPOSE_PRESETS = {
 ANGLE_PRESETS = {
     # efficientnet_finetuning.py: B0, direct regression, MAAE loss :66-68
     "efficientnet_direct_maae": AngleConfig(
-        data=DataConfig(image_size=224, batch_size=32),
+        data=DataConfig(image_size=224, batch_size=32, eval_resize_to=256),
         model=ModelConfig(family="efficientnet", variant="b0", head="linear",
                           out_dim=1, head_dropout=0.2),
         optim=OptimConfig(lr=1e-4, schedule="constant"),
@@ -93,7 +93,8 @@ ANGLE_PRESETS = {
     # en_finetuning_gemini.py: B0 sin/cos [cos,sin], MSE train loss :158,
     # plateau :163, best-by-val-MAAE :251 — the committed MAAE 26.326 run
     "efficientnet_sincos_gemini": AngleConfig(
-        data=DataConfig(image_size=224, batch_size=32, augment="geo_light"),
+        data=DataConfig(image_size=224, batch_size=32, augment="geo_light",
+                        eval_resize_to=256),
         model=ModelConfig(family="efficientnet", variant="b0",
                           head="sincos_linear", out_dim=2, head_dropout=0.3),
         optim=OptimConfig(lr=1e-4, schedule="plateau", plateau_factor=0.2,

@@ -42,6 +42,10 @@ class DataConfig:
     prefetch_depth: int = 2
     drop_remainder_train: bool = True
     decoder: str = "pil"       # pil | native (C++ libjpeg, PIL fallback)
+    # eval/test-time short-side resize before center-cropping image_size
+    # (Resize(256)+CenterCrop(224), validation_script.py:124-129); 0 = plain
+    # square resize like every other reference script
+    eval_resize_to: int = 0
     # cache decoded+resized images after first epoch: "" off, "ram", or a
     # .npy path for a disk memmap (datasets larger than memory)
     cache_decoded: str = ""

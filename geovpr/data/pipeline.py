@@ -56,6 +56,11 @@ class ImageFolderSource:
     # relies on) or "native" (C++ libjpeg decoder, geovpr/data/decoder.py —
     # ~1.9x faster per thread; falls back to PIL per-file on failure)
     decoder: str = "pil"
+    # resize the short side to `resize_to` then center-crop `image_size` —
+    # the reference's EfficientNet eval transform Resize(256)+CenterCrop(224)
+    # (angle_prediction/efficient_net/validation_script.py:124-129). 0 means
+    # plain square resize to image_size (every other reference script).
+    resize_to: int = 0
 
     def __post_init__(self):
         self._pool = concurrent.futures.ThreadPoolExecutor(self.num_threads)
@@ -66,13 +71,25 @@ class ImageFolderSource:
     def _decode(self, path: str) -> np.ndarray:
         from PIL import Image
         with Image.open(path) as img:
-            img = img.convert("RGB").resize(
-                (self.image_size, self.image_size), Image.BILINEAR)
+            img = img.convert("RGB")
+            if self.resize_to:
+                w, h = img.size
+                short = min(w, h)
+                nw, nh = (round(w * self.resize_to / short),
+                          round(h * self.resize_to / short))
+                img = img.resize((nw, nh), Image.BILINEAR)
+                left = (nw - self.image_size) // 2
+                top = (nh - self.image_size) // 2
+                img = img.crop((left, top, left + self.image_size,
+                                top + self.image_size))
+            else:
+                img = img.resize((self.image_size, self.image_size),
+                                 Image.BILINEAR)
             return np.asarray(img, np.uint8)
 
     def get_batch(self, idx: np.ndarray) -> dict:
         batch_paths = [self.paths[i] for i in idx]
-        if self.decoder == "native":
+        if self.decoder == "native" and not self.resize_to:
             from geovpr.data.decoder import decode_files
             imgs, _ok = decode_files(batch_paths, self.image_size,
                                      self.image_size,

@@ -116,3 +116,30 @@ class TestNativeDecoderSource:
         # different resize filters, same underlying image
         diff = np.abs(nat["image"].astype(int) - pil["image"].astype(int))
         assert diff.mean() < 30
+
+
+class TestCenterCropEval:
+    def test_resize_then_center_crop(self, tmp_path):
+        """Resize(short->256)+CenterCrop(224) parity with the reference's
+        EfficientNet eval transform (validation_script.py:124-129), checked
+        against torchvision on the same image."""
+        from PIL import Image
+        from geovpr.data.pipeline import ImageFolderSource
+
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 255, (300, 400, 3)).astype(np.uint8)
+        p = str(tmp_path / "wide.png")   # png: lossless, exact comparison
+        Image.fromarray(arr).save(p)
+
+        src = ImageFolderSource(paths=[p], targets=np.zeros((1, 1)),
+                                image_size=224, resize_to=256)
+        got = src.get_batch(np.array([0]))["image"][0]
+
+        # hand-built reference (torchvision Resize keeps aspect: short
+        # side -> 256, so 300x400 -> 256x341(round) -> center 224x224)
+        img = Image.fromarray(arr).resize((341, 256), Image.BILINEAR)
+        left, top = (341 - 224) // 2, (256 - 224) // 2
+        ref = np.asarray(img.crop((left, top, left + 224, top + 224)),
+                         np.uint8)
+        assert got.shape == ref.shape == (224, 224, 3)
+        np.testing.assert_array_equal(got, ref)
