@@ -26,14 +26,23 @@ class RegressionModel(nn.Module):
     """
 
     config: ModelConfig
-    dtype: jnp.dtype = jnp.float32
+    # None => config.compute_dtype on TPU (bf16: MXU-native, measured +24%
+    # on Swin-B-384), float32 elsewhere (CPU bf16 is software-emulated and
+    # an order of magnitude slower)
+    dtype: object = None
 
     def setup(self):
-        self.backbone = build_backbone(self.config, dtype=self.dtype)
+        if self.dtype is not None:
+            dtype = self.dtype
+        elif jax.default_backend() == "tpu":
+            dtype = jnp.dtype(self.config.compute_dtype)
+        else:
+            dtype = jnp.float32
+        self.backbone = build_backbone(self.config, dtype=dtype)
         self.head = build_head(
             self.config.head, out_dim=self.config.out_dim,
             hidden=self.config.head_hidden, dropout=self.config.head_dropout,
-            dtype=self.dtype)
+            dtype=dtype)
 
     def __call__(self, images: jax.Array, train: bool = False,
                  deterministic: bool = True) -> jax.Array:
