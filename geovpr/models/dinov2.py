@@ -104,13 +104,12 @@ class DinoV2Block(nn.Module):
         gamma1 = self.param_child_ls("ls1")
         b, n, c = x.shape
 
-        # Pallas only on the inference path: in training the custom VJP
-        # recomputes the full XLA forward anyway, so the kernel is pure
-        # overhead there (measured 495 vs 540 img/s train step at B=64 —
-        # XLA's saved-residual backward wins until a Pallas backward kernel
-        # exists). Inference: kernel 5.2 vs XLA 9.4 ms/layer.
+        # Pallas on both paths: inference 5.2 vs XLA 9.4 ms/layer; training
+        # uses the structured custom VJP (saved qkv/ctx + in-VMEM attention
+        # backward) measured 4.9 vs XLA's 7.7 ms/layer fwd+bwd at B=64. The
+        # kernel skips DropPath, so it only applies when DropPath is inert.
         pallas_ok = (self.use_pallas and jax.default_backend() == "tpu"
-                     and deterministic)
+                     and (deterministic or self.drop_path == 0.0))
         if pallas_ok:
             from geovpr.ops.pallas_mhsa import fused_mhsa_block
             wqkv = jnp.concatenate(

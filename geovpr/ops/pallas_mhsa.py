@@ -83,6 +83,111 @@ def _mhsa_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _mhsa_train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
+                       wo_ref, bo_ref, gamma_ref, o_ref, qkv_ref, ctx_ref,
+                       *, num_heads: int, scale: float, n_valid: int, bb: int,
+                       ln_eps: float):
+    """Forward kernel variant for training: additionally materializes the
+    qkv projections and per-head attention context (`ctx`) to HBM as
+    residuals for the structured backward — the N^2 score/probability
+    matrices still never leave VMEM."""
+    m, d = x_ref.shape
+    np_ = m // bb
+    dh = d // num_heads
+
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    x = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+         * ln_scale_ref[:].astype(jnp.float32)
+         + ln_bias_ref[:].astype(jnp.float32)).astype(x_raw.dtype)
+
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
+    qkv_ref[:] = qkv
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    key_mask = col < n_valid
+
+    for e in range(bb):
+        rows = slice(e * np_, (e + 1) * np_)
+        for h in range(num_heads):
+            q = qkv[rows, h * dh:(h + 1) * dh]
+            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
+            v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(key_mask, s, -1e30)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32)
+            ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
+
+    out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    out = out * gamma_ref[:].astype(jnp.float32) + x_raw.astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref,
+                     *, num_heads: int, scale: float, n_valid: int, bb: int):
+    """Attention-core backward: given saved qkv and da = dL/d(ctx), emit
+    dqkv. Recomputes softmax probabilities per head in VMEM (cheap: one
+    (N, dh) x (dh, N) matmul + exp) — the alternative, stashing (B, H, N, N)
+    probabilities to HBM, is exactly the bandwidth bill this kernel exists
+    to avoid."""
+    m, d3 = qkv_ref.shape
+    d = d3 // 3
+    np_ = m // bb
+    dh = d // num_heads
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    key_mask = col < n_valid
+
+    qkv = qkv_ref[:]
+    for e in range(bb):
+        rows = slice(e * np_, (e + 1) * np_)
+        for h in range(num_heads):
+            q = qkv[rows, h * dh:(h + 1) * dh]
+            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
+            v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            da = da_ref[rows, h * dh:(h + 1) * dh]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(key_mask, s, -1e30)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            pb = p.astype(qkv.dtype)
+
+            # dv = p^T @ da ; dp = da @ v^T
+            dv = jax.lax.dot_general(
+                pb, da, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                da, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # softmax backward: ds = p * (dp - sum(dp * p, axis=-1))
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(qkv.dtype)
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            dqkv_ref[rows, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[rows, d + h * dh:d + (h + 1) * dh] = (
+                dk.astype(dqkv_ref.dtype))
+            dqkv_ref[rows, 2 * d + h * dh:2 * d + (h + 1) * dh] = (
+                dv.astype(dqkv_ref.dtype))
+
+
 def _mhsa_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
                     num_heads: int, ln_eps: float):
     """jnp reference of the fused block — used for the backward pass
@@ -125,9 +230,11 @@ def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     x: (B, N, D). wqkv: (D, 3D) with q|k|v column blocks; wo: (D, D);
     gamma: (D,) LayerScale (pass ones for plain ViT).
 
-    Differentiable: forward runs the Pallas kernel; the backward pass
-    recomputes through the XLA reference formulation via a custom VJP, so
-    the kernel is usable inside training steps.
+    Differentiable with a STRUCTURED backward: the forward (when
+    differentiated) saves the qkv projections and attention context as
+    residuals; the backward runs a Pallas attention-core kernel for dqkv
+    (probabilities recomputed in VMEM, N^2 never hits HBM) plus plain XLA
+    matmuls for the weight gradients and an exact LayerNorm VJP.
     """
 
     @jax.custom_vjp
@@ -136,14 +243,60 @@ def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                                   gamma, num_heads=num_heads,
                                   block_batch=block_batch, ln_eps=ln_eps)
 
-    def fwd(*args):
-        return run(*args), args
+    def fwd(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma):
+        out, qkv, ctx = _fused_mhsa_pallas_train(
+            x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
+            num_heads=num_heads, block_batch=block_batch, ln_eps=ln_eps)
+        return out, (x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma, qkv,
+                     ctx)
 
     def bwd(res, g):
-        _, vjp = jax.vjp(
-            lambda *a: _mhsa_block_xla(*a, num_heads=num_heads,
-                                       ln_eps=ln_eps), *res)
-        return vjp(g)
+        x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma, qkv, ctx = res
+        b, n, d = x.shape
+        np_ = -(-n // 16) * 16
+
+        gf = g.astype(jnp.float32)
+        if np_ != n:
+            gf = jnp.pad(gf, [(0, 0), (0, np_ - n), (0, 0)])
+        gf = gf.reshape(b * np_, d)
+
+        # out = x + gamma * (ctx @ wo + bo)
+        dy = gf * gamma.astype(jnp.float32)                     # (M, D)
+        dyb = dy.astype(x.dtype)
+        da = jnp.dot(dyb, wo.T, preferred_element_type=jnp.float32
+                     ).astype(x.dtype)
+        dqkv = _attn_bwd_pallas(qkv, da, num_heads=num_heads,
+                                block_batch=block_batch, n_valid=n, bb_rows=np_)
+
+        y = (jnp.dot(ctx, wo, preferred_element_type=jnp.float32)
+             + bo.astype(jnp.float32))
+        dgamma = jnp.sum(gf * y, axis=0).astype(gamma.dtype)
+        dwo = jnp.dot(ctx.T, dyb,
+                      preferred_element_type=jnp.float32).astype(wo.dtype)
+        dbo = jnp.sum(dy, axis=0).astype(bo.dtype)
+
+        # LN recompute (elementwise — no matmuls) + exact VJP
+        xp = x if np_ == n else jnp.pad(x, [(0, 0), (0, np_ - n), (0, 0)])
+        xp = xp.reshape(b * np_, d)
+
+        def ln_f(xx, s, bias):
+            xf = xx.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+            return ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+                    * s.astype(jnp.float32)
+                    + bias.astype(jnp.float32)).astype(xx.dtype)
+
+        h, ln_vjp = jax.vjp(ln_f, xp, ln_scale, ln_bias)
+        dwqkv = jnp.dot(h.T, dqkv,
+                        preferred_element_type=jnp.float32).astype(wqkv.dtype)
+        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0).astype(bqkv.dtype)
+        dh = jnp.dot(dqkv, wqkv.T,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+        dx_ln, dls, dlb = ln_vjp(dh)
+
+        dx = (gf + dx_ln.astype(jnp.float32)).reshape(b, np_, d)[:, :n, :]
+        return (dx.astype(x.dtype), dls, dlb, dwqkv, dbqkv, dwo, dbo, dgamma)
 
     run.defvjp(fwd, bwd)
     return run(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma)
@@ -201,3 +354,101 @@ def _fused_mhsa_pallas(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     )(xf, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma)
     out = out.reshape(b, np_, d)
     return out[:, :n, :] if np_ != n else out
+
+
+def _fused_mhsa_pallas_train(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
+                             num_heads: int, block_batch: int = 2,
+                             ln_eps: float = 1e-6):
+    """Training forward: returns (out (B,N,D), qkv (B*NP,3D), ctx (B*NP,D))
+    with qkv/ctx kept flat+padded — they are internal residuals consumed by
+    the structured backward, never user-facing."""
+    b, n, d = x.shape
+    dh = d // num_heads
+    scale = dh ** -0.5
+    np_ = -(-n // 16) * 16
+    if np_ != n:
+        x = jnp.pad(x, [(0, 0), (0, np_ - n), (0, 0)])
+    # bb=1: the extra qkv/ctx output blocks push bb=2 past the 16MB VMEM
+    # scope (measured 18.9MB)
+    bb = 1
+    xf = x.reshape(b * np_, d)
+
+    grid = (b // bb,)
+    kernel = functools.partial(_mhsa_train_kernel, num_heads=num_heads,
+                               scale=scale, n_valid=n, bb=bb, ln_eps=ln_eps)
+    whole = lambda i: (0, 0)
+    vec = lambda i: (0,)
+    row_block = lambda rows: pl.BlockSpec((rows, None), None)
+    out, qkv, ctx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * np_, d), x.dtype),
+            jax.ShapeDtypeStruct((b * np_, 3 * d), x.dtype),
+            jax.ShapeDtypeStruct((b * np_, d), x.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb * np_, 3 * d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * np_ * d * 4 * d + 4 * b * num_heads * np_ * np_ * dh,
+            bytes_accessed=7 * b * np_ * d * x.dtype.itemsize,
+            transcendentals=b * num_heads * np_ * np_),
+    )(xf, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma)
+    out = out.reshape(b, np_, d)
+    return (out[:, :n, :] if np_ != n else out), qkv, ctx
+
+
+def _attn_bwd_pallas(qkv: jax.Array, da: jax.Array, num_heads: int,
+                     block_batch: int, n_valid: int,
+                     bb_rows: int) -> jax.Array:
+    """dqkv from saved qkv and da = dL/d(ctx); flat (B*NP, .) layout."""
+    m, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    scale = dh ** -0.5
+    np_ = bb_rows
+    b = m // np_
+    bb = 1   # bb=2 exceeds the 16MB VMEM scope (measured 19MB)
+
+    grid = (b // bb,)
+    kernel = functools.partial(_attn_bwd_kernel, num_heads=num_heads,
+                               scale=scale, n_valid=n_valid, bb=bb)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((m, d3), qkv.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bb * np_, d3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb * np_, d3), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * (m // np_) * num_heads * np_ * np_ * dh,
+            bytes_accessed=2 * m * (d3 + d) * qkv.dtype.itemsize,
+            transcendentals=(m // np_) * num_heads * np_ * np_),
+    )(qkv, da)
+    return out
