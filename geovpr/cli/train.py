@@ -32,6 +32,11 @@ def main(argv=None):
                    help="path to a converted checkpoint (msgpack/orbax) to "
                         "initialize the backbone from")
     p.add_argument("--resume", default="", help="run dir to resume from")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of a few steady-state "
+                        "steps into <run_dir>/profile")
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="overlap Orbax checkpoint writes with training")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -52,6 +57,7 @@ def main(argv=None):
         **({"batch_size": args.batch_size} if args.batch_size else {}))
     train_cfg = dataclasses.replace(
         cfg.train, save_dir=args.save_dir,
+        profile=args.profile, async_checkpoint=args.async_checkpoint,
         **({"epochs": args.epochs} if args.epochs else {}),
         **({"seed": args.seed} if args.seed >= 0 else {}))
 

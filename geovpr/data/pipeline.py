@@ -69,6 +69,15 @@ class ImageFolderSource:
         return len(self.paths)
 
     def _decode(self, path: str) -> np.ndarray:
+        try:
+            return self._decode_inner(path)
+        except Exception:
+            # unreadable/corrupt file mid-run -> black dummy frame, matching
+            # the reference's fallback (test_script.py:108-114); manifest
+            # screening catches these up front when enabled
+            return np.zeros((self.image_size, self.image_size, 3), np.uint8)
+
+    def _decode_inner(self, path: str) -> np.ndarray:
         from PIL import Image
         with Image.open(path) as img:
             img = img.convert("RGB")

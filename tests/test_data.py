@@ -143,3 +143,16 @@ class TestCenterCropEval:
                          np.uint8)
         assert got.shape == ref.shape == (224, 224, 3)
         np.testing.assert_array_equal(got, ref)
+
+
+class TestDecodeFallback:
+    def test_corrupt_file_yields_dummy(self, tmp_path):
+        from geovpr.data.pipeline import ImageFolderSource
+        p = str(tmp_path / "broken.jpg")
+        with open(p, "wb") as f:
+            f.write(b"not a jpeg at all")
+        src = ImageFolderSource(paths=[p], targets=np.zeros((1, 1)),
+                                image_size=8)
+        out = src.get_batch(np.array([0]))
+        assert out["image"].shape == (1, 8, 8, 3)
+        assert (out["image"] == 0).all()
