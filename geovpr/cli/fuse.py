@@ -55,7 +55,8 @@ def main(argv=None):
         trainer, cfg = load_trained(preset, run_dir, args.checkpoint)
         source = ImageFolderSource(
             paths=paths, targets=np.zeros((len(names), out_dim), np.float32),
-            image_size=cfg.data.image_size, filenames=names)
+            image_size=cfg.data.image_size, filenames=names,
+            resize_to=cfg.data.eval_resize_to)
         return trainer.predict(source)
 
     if args.geopose_preset:

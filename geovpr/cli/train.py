@@ -74,14 +74,15 @@ def main(argv=None):
         # fit on TRAIN targets only (swin_attempt_2.py:135-137)
         scaler = fit_scaler(jnp.asarray(train_targets))
 
-    def make_source(manifest):
+    def make_source(manifest, resize_to=0):
         targets = manifest.latlon if is_geo else manifest.angle
         source = ImageFolderSource(
             paths=manifest.paths(), targets=np.asarray(targets),
             image_size=data.image_size,
             num_threads=data.num_decode_threads,
             filenames=manifest.filenames,
-            decoder=data.decoder)
+            decoder=data.decoder,
+            resize_to=resize_to)
         if data.cache_decoded:
             from geovpr.data.pipeline import CachedImageSource
             path = "" if data.cache_decoded == "ram" else data.cache_decoded
@@ -100,17 +101,31 @@ def main(argv=None):
         scaler=scaler,
     )
 
+    steps_per_epoch = max(len(train_manifest.filenames) // data.batch_size, 1)
+    start_epoch = 0
     if args.resume:
         from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
-        trainer.init_state((data.image_size, data.image_size, 3))
+        # schedules need the SAME step horizon as the original run —
+        # total_steps=0 would give cosine schedules a 1-step horizon and
+        # silently zero the LR for the whole resumed run
+        trainer.init_state((data.image_size, data.image_size, 3),
+                           total_steps=steps_per_epoch * train_cfg.epochs,
+                           steps_per_epoch=steps_per_epoch)
         ckpt = latest_checkpoint(args.resume)
         if ckpt is None:
             raise SystemExit(f"no checkpoint under {args.resume}")
-        trainer.state, start_epoch = restore_checkpoint(ckpt, trainer.state)
-        print(f"resumed from {ckpt} at epoch {start_epoch}")
+        trainer.state, ckpt_epoch = restore_checkpoint(ckpt, trainer.state)
+        start_epoch = ckpt_epoch + 1
+        trainer.run_dir = args.resume  # continue the same run dir
+        print(f"resumed from {ckpt}; continuing at epoch {start_epoch}")
 
-    history = trainer.fit(make_source(train_manifest),
-                          make_source(val_manifest) if val_manifest else None)
+    # validation uses the eval-time transform (e.g. Resize(256)+CenterCrop,
+    # validation_script.py:124-129) so best-checkpoint selection scores the
+    # same input distribution cli/evaluate.py later reports on
+    history = trainer.fit(
+        make_source(train_manifest),
+        make_source(val_manifest, data.eval_resize_to) if val_manifest else None,
+        start_epoch=start_epoch)
     print(json.dumps({"run_dir": trainer.run_dir,
                       "final": history[-1] if history else {}}))
 

@@ -100,9 +100,13 @@ class ImageFolderSource:
         batch_paths = [self.paths[i] for i in idx]
         if self.decoder == "native" and not self.resize_to:
             from geovpr.data.decoder import decode_files
-            imgs, _ok = decode_files(batch_paths, self.image_size,
-                                     self.image_size,
-                                     threads=self.num_threads)
+            imgs, ok = decode_files(batch_paths, self.image_size,
+                                    self.image_size,
+                                    threads=self.num_threads)
+            if not ok.all():
+                # per-file PIL fallback for anything libjpeg rejected
+                for j in np.flatnonzero(~ok):
+                    imgs[j] = self._decode(batch_paths[j])
             return {"image": imgs, "target": self.targets[idx]}
         imgs = list(self._pool.map(self._decode, batch_paths))
         return {"image": np.stack(imgs), "target": self.targets[idx]}
@@ -144,7 +148,11 @@ class CachedImageSource:
         if missing.size:
             decoded = self.inner.get_batch(missing)
             self._cache[missing] = decoded["image"]
-            self._have[missing] = True
+            # an all-black frame is the decode-failure sentinel — leave it
+            # uncached so a transient I/O error is retried next epoch rather
+            # than poisoning every later epoch
+            ok = decoded["image"].reshape(len(missing), -1).any(axis=1)
+            self._have[missing] = ok
         return {"image": self._cache[idx], "target": self.targets[idx]}
 
 

@@ -218,17 +218,7 @@ def convert_dinov2_hf(state_dict: Mapping[str, Any], num_layers: int = 12,
     tb.p("cls_token", sd["embeddings.cls_token"])
     pos = _np(sd["embeddings.position_embeddings"])  # (1, N+1, D)
     if target_grid is not None:
-        src_grid = int(round((pos.shape[1] - 1) ** 0.5))
-        if src_grid != target_grid:
-            import jax
-            import jax.numpy as jnp
-            d = pos.shape[-1]
-            patch = pos[:, 1:].reshape(1, src_grid, src_grid, d)
-            patch = jax.image.resize(
-                jnp.asarray(patch, jnp.float32),
-                (1, target_grid, target_grid, d), method="bicubic")
-            patch = np.asarray(patch).reshape(1, target_grid * target_grid, d)
-            pos = np.concatenate([pos[:, :1], patch], axis=1)
+        pos = _interp_pos_embed(pos, target_grid)
     tb.p("pos_embed", pos)
     tb.p("patch_embed/kernel",
          _conv(_np(sd["embeddings.patch_embeddings.projection.weight"])))

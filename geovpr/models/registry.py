@@ -27,8 +27,12 @@ def build_backbone(cfg: ModelConfig, dtype=jnp.float32):
         return DinoV2(**DINOV2_VARIANTS[cfg.variant], dtype=dtype,
                       use_pallas=cfg.use_pallas, remat=cfg.remat)
     if family == "dinov2_salad":
+        from geovpr.models.dinov2 import DINOV2_VARIANTS
         from geovpr.models.salad import DinoV2Salad
-        return DinoV2Salad(dtype=dtype, use_pallas=cfg.use_pallas)
+        if cfg.variant not in DINOV2_VARIANTS:
+            raise ValueError(f"unknown dinov2_salad variant {cfg.variant!r}")
+        return DinoV2Salad(variant=cfg.variant, dtype=dtype,
+                           use_pallas=cfg.use_pallas, remat=cfg.remat)
     if family == "convnext":
         from geovpr.models.convnext import ConvNeXt, CONVNEXT_VARIANTS
         if cfg.variant not in CONVNEXT_VARIANTS:

@@ -83,6 +83,7 @@ class DinoV2Salad(nn.Module):
     token_dim: int = 256
     sinkhorn_iters: int = 3
     use_pallas: bool = True
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -94,7 +95,8 @@ class DinoV2Salad(nn.Module):
                  deterministic: bool = True) -> BackboneOutput:
         backbone = DinoV2(**DINOV2_VARIANTS[self.variant],
                           image_size=self.image_size, name="backbone",
-                          use_pallas=self.use_pallas, dtype=self.dtype)
+                          use_pallas=self.use_pallas, remat=self.remat,
+                          dtype=self.dtype)
         out = backbone(x, train=train, deterministic=deterministic)
         desc = SaladHead(
             num_clusters=self.num_clusters, cluster_dim=self.cluster_dim,

@@ -93,8 +93,8 @@ class DescriptorIndex:
 
     def search(self, queries: jax.Array, k: int):
         """Returns (scores (Q, k), indices (Q, k)) of cosine top-k matches.
-        Padded rows (zero vectors) can never win over real matches for
-        nonnegative-similarity queries; their score is 0."""
+        Padded rows are masked to -inf so they can never appear in the
+        top-k."""
         if self._db is None:
             raise ValueError("index not built")
         q = jnp.asarray(queries, self.dtype)
@@ -112,12 +112,18 @@ class DescriptorIndex:
         # always covers the global k because k <= total rows
         local_k = min(k, shard_rows)
 
+        n_real = self._n
+
         def local_search(db_shard, q_rep):
             # db_shard: (rows, D) local; q_rep: (Q, D) replicated
             scores, idx = cosine_topk(q_rep.astype(jnp.float32),
                                       db_shard.astype(jnp.float32), local_k)
             shard_i = jax.lax.axis_index(axis)
             idx = idx + shard_i * shard_rows
+            # padded zero rows score exactly 0, which OUTRANKS real
+            # negative-cosine matches (SALAD descriptors have negative
+            # components) — force them below any real score
+            scores = jnp.where(idx < n_real, scores, -jnp.inf)
             # gather candidates from all shards: (n_shards*k) per query
             all_scores = jax.lax.all_gather(scores, axis, axis=1)
             all_idx = jax.lax.all_gather(idx, axis, axis=1)

@@ -62,6 +62,7 @@ class Trainer:
         # optimizer (fresh Adam moments, as the reference does) unfrozen.
         self._frozen_phase = self.optim_cfg.freeze_backbone_epochs > 0
         self._total_steps = 0
+        self._steps_per_epoch = 0
 
         mean, std = self.data_cfg.mean, self.data_cfg.std
         self._normalize = lambda x: normalize(x, mean, std)
@@ -90,14 +91,18 @@ class Trainer:
         cfg = self.optim_cfg
         if cfg.unfreeze_lr > 0:
             cfg = dataclasses.replace(cfg, lr=cfg.unfreeze_lr)
-        tx = build_optimizer(cfg, params=None, total_steps=self._total_steps)
+        tx = build_optimizer(cfg, params=None, total_steps=self._total_steps,
+                             steps_per_epoch=self._steps_per_epoch)
         self.state = self.state.replace(
             tx=tx, opt_state=tx.init(self.state.params))
 
-    def init_state(self, sample_image_shape, total_steps: int = 0):
+    def init_state(self, sample_image_shape, total_steps: int = 0,
+                   steps_per_epoch: int = 0):
         self._total_steps = total_steps
+        self._steps_per_epoch = steps_per_epoch
         tx = build_optimizer(self._phase_optim_cfg(), params=None,
-                             total_steps=total_steps)
+                             total_steps=total_steps,
+                             steps_per_epoch=steps_per_epoch)
         rng = jax.random.PRNGKey(self.train_cfg.seed)
         sample = jnp.zeros((1,) + tuple(sample_image_shape), jnp.float32)
         self.state = create_train_state(
@@ -108,7 +113,11 @@ class Trainer:
 
     # ------------------------------------------------------------------- fit
     def fit(self, train_source, val_source=None,
-            epochs: Optional[int] = None) -> list:
+            epochs: Optional[int] = None, start_epoch: int = 0) -> list:
+        """Train for epochs [start_epoch, epochs). `start_epoch` > 0 resumes
+        mid-run (after `restore_checkpoint`): checkpoint numbering, shuffle
+        seeds, and the freeze/unfreeze phase all continue where the original
+        run stopped (reference resume: swin_finetuning_bigger_model.py:76-84)."""
         cfg = self.train_cfg
         epochs = epochs or cfg.epochs
         bs = self.data_cfg.batch_size
@@ -116,14 +125,21 @@ class Trainer:
 
         if self.state is None:
             img = train_source.get_batch(np.array([0]))["image"][0]
-            self.init_state(img.shape, total_steps=steps_per_epoch * epochs)
+            self.init_state(img.shape, total_steps=steps_per_epoch * epochs,
+                            steps_per_epoch=steps_per_epoch)
+        # resuming past the warmup boundary: rebuild the phase-2 optimizer
+        # (fresh moments — the reference's unfreeze also rebuilds, so this
+        # matches its semantics even on resume)
+        if (self._frozen_phase
+                and start_epoch >= self.optim_cfg.freeze_backbone_epochs):
+            self._unfreeze()
 
         best = float("inf")
         best_epoch = -1
         bad_epochs = 0
         plateau_bad = 0
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             if (self._frozen_phase
                     and epoch >= self.optim_cfg.freeze_backbone_epochs):
                 self._unfreeze()

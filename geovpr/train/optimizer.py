@@ -48,15 +48,19 @@ def decay_mask(params: Any) -> Any:
         lambda path, _: not _is_no_decay(path), params)
 
 
-def make_schedule(cfg: OptimConfig, base_lr: float,
-                  total_steps: int) -> optax.Schedule:
+def make_schedule(cfg: OptimConfig, base_lr: float, total_steps: int,
+                  steps_per_epoch: int = 0) -> optax.Schedule:
     if cfg.schedule in ("constant", "plateau"):
         return optax.constant_schedule(base_lr)
     if cfg.schedule == "cosine":
         steps = cfg.cosine_steps or max(total_steps, 1)
         return optax.cosine_decay_schedule(base_lr, steps)
     if cfg.schedule == "cosine_restarts":
-        period = max(cfg.restart_period, 1)
+        # restart_period counts EPOCHS (the reference steps its
+        # CosineAnnealingWarmRestarts once per epoch,
+        # swin_angle_finetuning_gemini.py:188,229) — convert to optimizer
+        # steps, which tick once per batch here
+        period = max(cfg.restart_period, 1) * max(steps_per_epoch, 1)
         n = max(-(-total_steps // period), 1)
         return optax.join_schedules(
             [optax.cosine_decay_schedule(base_lr, period)] * n,
@@ -65,7 +69,8 @@ def make_schedule(cfg: OptimConfig, base_lr: float,
 
 
 def build_optimizer(cfg: OptimConfig, params: Any,
-                    total_steps: int = 0) -> optax.GradientTransformation:
+                    total_steps: int = 0,
+                    steps_per_epoch: int = 0) -> optax.GradientTransformation:
     """Build the full gradient transformation for a parameter tree.
 
     The returned transform expects an `lr_scale` hyperparam accessible via
@@ -79,13 +84,17 @@ def build_optimizer(cfg: OptimConfig, params: Any,
     if cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
 
-    schedule = make_schedule(cfg, cfg.lr, total_steps)
+    schedule = make_schedule(cfg, cfg.lr, total_steps, steps_per_epoch)
 
     def make_tx(lr_factor: float) -> optax.GradientTransformation:
         inner = [optax.scale_by_adam()]
         if cfg.optimizer == "adamw":
+            # torch AdamW decays every parameter (the reference recipes,
+            # e.g. swin_attempt_2.py:157); the bias/norm no-decay split is
+            # opt-in (dino_v2_gemini.py:169-184)
+            mask = decay_mask if cfg.no_decay_on_bias_norm else None
             inner.append(optax.add_decayed_weights(cfg.weight_decay,
-                                                   mask=decay_mask))
+                                                   mask=mask))
         inner.append(optax.scale_by_schedule(
             lambda step: -schedule(step) * lr_factor))
         return optax.chain(*inner)

@@ -71,3 +71,26 @@ def test_recall_at_k_hand_values():
     assert float(recall_at_k(idx, pos, k=1)) == pytest.approx(0.0)
     assert float(recall_at_k(idx, pos, k=2)) == pytest.approx(1 / 3)
     assert float(recall_at_k(idx, pos, k=3)) == pytest.approx(2 / 3)
+
+
+class TestShardedPaddingMask:
+    def test_padded_rows_never_outrank_negative_matches(self):
+        """Gallery of 5 rows over 8 shards forces zero-padding; with
+        all-negative cosine scores the padded rows' raw 0 score would win
+        without the -inf mask."""
+        from geovpr.parallel import create_mesh
+        from geovpr.retrieval.index import DescriptorIndex
+
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=(1, 16)).astype(np.float32)
+        base /= np.linalg.norm(base)
+        # gallery vectors all NEGATIVELY correlated with the query
+        gallery = -np.abs(rng.uniform(0.2, 1.0, (5, 1))).astype(np.float32) \
+            * base + rng.normal(0, 1e-3, (5, 16)).astype(np.float32)
+        index = DescriptorIndex(dim=16, mesh=create_mesh(),
+                                dtype=jnp.float32).build(
+            jnp.asarray(gallery), normalized=False)
+        scores, idx = index.search(jnp.asarray(base), k=3)
+        idx = np.asarray(idx)
+        assert (idx < 5).all(), f"padded row leaked into top-k: {idx}"
+        assert (np.asarray(scores) < 0).all()

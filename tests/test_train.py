@@ -315,3 +315,66 @@ class TestRemat:
                         jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+class TestScheduleSemantics:
+    def test_cosine_restarts_period_counts_epochs(self):
+        from geovpr.train.optimizer import make_schedule
+        cfg = OptimConfig(lr=1.0, schedule="cosine_restarts", restart_period=2)
+        sched = make_schedule(cfg, 1.0, total_steps=40, steps_per_epoch=5)
+        # period = 2 epochs * 5 steps: decays over 10 steps, restarts at 10
+        assert float(sched(0)) == 1.0
+        assert float(sched(9)) < 0.1
+        assert float(sched(10)) == 1.0
+
+    def test_cosine_nonzero_mid_horizon(self):
+        """Guard for the resume bug: a 0/1-step horizon zeroes the LR."""
+        from geovpr.train.optimizer import make_schedule
+        cfg = OptimConfig(lr=1.0, schedule="cosine")
+        sched = make_schedule(cfg, 1.0, total_steps=100)
+        assert float(sched(50)) > 0.4
+
+    def test_no_decay_flag_controls_mask(self):
+        import optax
+        from geovpr.train.optimizer import build_optimizer
+        params = {"head_out": {"kernel": jnp.ones((2, 2)),
+                               "bias": jnp.ones((2,))}}
+        grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def bias_update(flag):
+            tx = build_optimizer(
+                OptimConfig(lr=1.0, weight_decay=0.1, schedule="constant",
+                            no_decay_on_bias_norm=flag), None, 10)
+            state = tx.init(params)
+            updates, _ = tx.update(grads, state, params)
+            return np.abs(np.asarray(updates["head_out"]["bias"])).max()
+
+        assert bias_update(False) > 0.0   # torch AdamW decays biases too
+        assert bias_update(True) == 0.0   # opt-in no-decay split
+
+
+class TestResumeStartEpoch:
+    def test_fit_continues_numbering_and_seeds(self, tmp_path):
+        import dataclasses as dc
+        from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        src = synthetic_geo_source(n=32)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = make_trainer(GeoposeObjective(loss_name="mse"), 2, scaler=scaler,
+                          save_dir=str(tmp_path))
+        tr.train_cfg = dc.replace(tr.train_cfg, checkpoint_every=1,
+                                  keep_checkpoints=10)
+        tr.fit(src, epochs=2)
+        assert os.path.isdir(os.path.join(tr.run_dir, "checkpoint_1"))
+
+        tr2 = make_trainer(GeoposeObjective(loss_name="mse"), 2, scaler=scaler,
+                          save_dir=str(tmp_path))
+        tr2.train_cfg = dc.replace(tr2.train_cfg, checkpoint_every=1,
+                                   keep_checkpoints=10)
+        tr2.run_dir = tr.run_dir
+        tr2.init_state((32, 32, 3), total_steps=8, steps_per_epoch=2)
+        tr2.state, epoch = restore_checkpoint(
+            latest_checkpoint(tr.run_dir), tr2.state)
+        hist = tr2.fit(src, epochs=4, start_epoch=epoch + 1)
+        assert [h["epoch"] for h in hist] == [2, 3]
+        assert os.path.isdir(os.path.join(tr.run_dir, "checkpoint_3"))
