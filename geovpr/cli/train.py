@@ -74,7 +74,7 @@ def main(argv=None):
         # fit on TRAIN targets only (swin_attempt_2.py:135-137)
         scaler = fit_scaler(jnp.asarray(train_targets))
 
-    def make_source(manifest, resize_to=0):
+    def make_source(manifest, resize_to=0, role="train"):
         targets = manifest.latlon if is_geo else manifest.angle
         source = ImageFolderSource(
             paths=manifest.paths(), targets=np.asarray(targets),
@@ -85,7 +85,10 @@ def main(argv=None):
             resize_to=resize_to)
         if data.cache_decoded:
             from geovpr.data.pipeline import CachedImageSource
-            path = "" if data.cache_decoded == "ram" else data.cache_decoded
+            # per-role cache files: train and val caching into ONE memmap
+            # would truncate each other's backing file
+            path = ("" if data.cache_decoded == "ram"
+                    else f"{data.cache_decoded}.{role}.npy")
             source = CachedImageSource(source, cache_path=path)
         return source
 
@@ -101,7 +104,10 @@ def main(argv=None):
         scaler=scaler,
     )
 
-    steps_per_epoch = max(len(train_manifest.filenames) // data.batch_size, 1)
+    n_train = len(train_manifest.filenames)
+    steps_per_epoch = max(
+        n_train // data.batch_size if data.drop_remainder_train
+        else -(-n_train // data.batch_size), 1)
     start_epoch = 0
     if args.resume:
         from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
@@ -114,7 +120,18 @@ def main(argv=None):
         ckpt = latest_checkpoint(args.resume)
         if ckpt is None:
             raise SystemExit(f"no checkpoint under {args.resume}")
-        trainer.state, ckpt_epoch = restore_checkpoint(ckpt, trainer.state)
+        try:
+            trainer.state, ckpt_epoch = restore_checkpoint(ckpt, trainer.state)
+        except Exception:
+            # checkpoint was written in the post-unfreeze phase, whose
+            # opt_state tree differs from the frozen-warmup template —
+            # rebuild the phase-2 optimizer and retry
+            if trainer._frozen_phase:
+                trainer._unfreeze()
+                trainer.state, ckpt_epoch = restore_checkpoint(
+                    ckpt, trainer.state)
+            else:
+                raise
         start_epoch = ckpt_epoch + 1
         trainer.run_dir = args.resume  # continue the same run dir
         print(f"resumed from {ckpt}; continuing at epoch {start_epoch}")
@@ -124,7 +141,8 @@ def main(argv=None):
     # same input distribution cli/evaluate.py later reports on
     history = trainer.fit(
         make_source(train_manifest),
-        make_source(val_manifest, data.eval_resize_to) if val_manifest else None,
+        make_source(val_manifest, data.eval_resize_to, role="val")
+        if val_manifest else None,
         start_epoch=start_epoch)
     print(json.dumps({"run_dir": trainer.run_dir,
                       "final": history[-1] if history else {}}))

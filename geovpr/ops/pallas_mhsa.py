@@ -190,9 +190,10 @@ def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref,
 
 def _mhsa_block_xla(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
                     num_heads: int, ln_eps: float):
-    """jnp reference of the fused block — used for the backward pass
-    (recompute beats stashing the N^2 probabilities to HBM) and as the
-    numeric oracle in tests."""
+    """jnp reference of the fused block — the numeric oracle the kernel
+    (and its structured backward) are tested against. NOT on any production
+    path: the training backward runs _attn_bwd_pallas + explicit XLA
+    matmuls, not a VJP of this function."""
     b, n, d = x.shape
     dh = d // num_heads
     xf = x.astype(jnp.float32)
@@ -378,7 +379,6 @@ def _fused_mhsa_pallas_train(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
                                scale=scale, n_valid=n, bb=bb, ln_eps=ln_eps)
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
-    row_block = lambda rows: pl.BlockSpec((rows, None), None)
     out, qkv, ctx = pl.pallas_call(
         kernel,
         out_shape=(

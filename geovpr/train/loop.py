@@ -121,7 +121,9 @@ class Trainer:
         cfg = self.train_cfg
         epochs = epochs or cfg.epochs
         bs = self.data_cfg.batch_size
-        steps_per_epoch = max(len(train_source) // bs, 1)
+        n = len(train_source)
+        steps_per_epoch = max(
+            n // bs if self.data_cfg.drop_remainder_train else -(-n // bs), 1)
 
         if self.state is None:
             img = train_source.get_batch(np.array([0]))["image"][0]
@@ -136,6 +138,15 @@ class Trainer:
 
         best = float("inf")
         best_epoch = -1
+        if start_epoch > 0:
+            # carry the prior run's best metric forward so a resumed epoch
+            # can't overwrite run_dir/best with a worse model
+            meta = os.path.join(self.run_dir, "best", "run_metrics.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    prior = json.load(f)
+                best = float(prior.get(self.objective.monitor, best))
+                best_epoch = int(prior.get("epoch", -1))
         bad_epochs = 0
         plateau_bad = 0
 
@@ -249,8 +260,11 @@ class Trainer:
                 self.mesh, self.data_cfg.prefetch_depth):
             batch.pop("_indices", None)
             s, _ = self._eval_step(self.state, batch)
-            s = {k: float(v) for k, v in s.items()}
-            sums = s if sums is None else {k: sums[k] + s[k] for k in sums}
+            # accumulate ON DEVICE; a float() here would force a host sync
+            # per batch and serialize eval dispatch
+            sums = s if sums is None else jax.tree_util.tree_map(
+                jnp.add, sums, s)
+        sums = {k: float(v) for k, v in sums.items()}
         return summarize_eval(self.objective, sums)
 
     def predict(self, source) -> np.ndarray:

@@ -68,19 +68,33 @@ def make_schedule(cfg: OptimConfig, base_lr: float, total_steps: int,
     raise ValueError(f"unknown schedule {cfg.schedule!r}")
 
 
-def build_optimizer(cfg: OptimConfig, params: Any,
+def _backbone_mask(params: Any) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: _is_backbone(path), params)
+
+
+def build_optimizer(cfg: OptimConfig,
+                    params: Any = None,
                     total_steps: int = 0,
                     steps_per_epoch: int = 0) -> optax.GradientTransformation:
-    """Build the full gradient transformation for a parameter tree.
+    """Build the full gradient transformation (`params` is unused — the
+    transform is parameter-tree-agnostic; kept for call-site compatibility).
 
     The returned transform expects an `lr_scale` hyperparam accessible via
     `optax.tree_utils` paths when schedule == "plateau"; use
-    `set_plateau_scale(opt_state, factor)` to adjust it.
+    `set_lr_scale(opt_state, factor)` to adjust it.
     """
+    del params
     if cfg.optimizer not in ("adamw", "adam"):
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
 
     chain = []
+    if _has_frozen(cfg):
+        # zero backbone grads BEFORE clipping so the global norm sees only
+        # trainable params — the reference's frozen params produce no grads
+        # at all (dinov2salad_finetuning.py:25-26), so its clip norm is
+        # head-only too
+        chain.append(optax.masked(optax.set_to_zero(), _backbone_mask))
     if cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
 
