@@ -92,6 +92,19 @@ def main(argv=None):
             source = CachedImageSource(source, cache_path=path)
         return source
 
+    pretrained = None
+    if args.pretrained:
+        # converted backbone weights (geovpr.models.convert_torch output
+        # serialized with flax.serialization.msgpack_serialize) — overlaid
+        # onto the fresh init, nested under "backbone" to match
+        # RegressionModel's tree if the file holds bare backbone variables
+        from flax.serialization import msgpack_restore
+        with open(args.pretrained, "rb") as f:
+            pretrained = msgpack_restore(f.read())
+        if "params" in pretrained and "backbone" not in pretrained["params"]:
+            pretrained = {
+                k: {"backbone": v} for k, v in pretrained.items()}
+
     model = RegressionModel(config=cfg.model)
     trainer = Trainer(
         model=model,
@@ -102,6 +115,7 @@ def main(argv=None):
         mesh=create_mesh(),
         has_batch_stats=(cfg.model.family == "efficientnet"),
         scaler=scaler,
+        pretrained_variables=pretrained,
     )
 
     n_train = len(train_manifest.filenames)

@@ -378,3 +378,55 @@ class TestResumeStartEpoch:
         hist = tr2.fit(src, epochs=4, start_epoch=epoch + 1)
         assert [h["epoch"] for h in hist] == [2, 3]
         assert os.path.isdir(os.path.join(tr.run_dir, "checkpoint_3"))
+
+
+class TestPretrainedInit:
+    def test_backbone_overlay_head_fresh(self):
+        """Converted backbone weights overlay the init; the head stays
+        fresh — the reference's universal fine-tune pattern."""
+        from geovpr.train.state import create_train_state
+        import optax
+
+        model = TinyModel(out_dim=2)
+        rng = jax.random.PRNGKey(0)
+        sample = jnp.zeros((1, 32, 32, 3))
+        base = model.init(rng, sample)
+        pre_bb = jax.tree_util.tree_map(lambda x: x + 7.0,
+                                        base["params"]["backbone"])
+
+        state = create_train_state(
+            model, optax.sgd(1e-3), rng, sample,
+            pretrained_variables={"params": {"backbone": pre_bb}})
+        got = state.params["backbone"]
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(pre_bb)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # head differs from the pretrained tree (fresh init, not +7)
+        np.testing.assert_array_equal(
+            np.asarray(state.params["head_out"]["kernel"]),
+            np.asarray(base["params"]["head_out"]["kernel"]))
+
+    def test_shape_mismatch_raises(self):
+        from geovpr.train.state import create_train_state
+        import optax
+
+        model = TinyModel(out_dim=2)
+        rng = jax.random.PRNGKey(0)
+        sample = jnp.zeros((1, 32, 32, 3))
+        bad = {"params": {"backbone": {"Conv_0": {
+            "kernel": jnp.zeros((5, 5, 3, 16))}}}}
+        with pytest.raises(ValueError, match="shape mismatch"):
+            create_train_state(model, optax.sgd(1e-3), rng, sample,
+                               pretrained_variables=bad)
+
+    def test_cli_nesting_of_bare_backbone_file(self, tmp_path):
+        """--pretrained with a bare backbone msgpack gets nested under
+        'backbone' to match RegressionModel's tree."""
+        from flax.serialization import msgpack_restore, msgpack_serialize
+
+        bare = {"params": {"patch_embed": {"kernel": np.ones((2, 2, 3, 4))}}}
+        blob = msgpack_serialize(bare)
+        restored = msgpack_restore(blob)
+        assert "backbone" not in restored["params"]
+        nested = {k: {"backbone": v} for k, v in restored.items()}
+        assert "patch_embed" in nested["params"]["backbone"]
