@@ -25,7 +25,8 @@ def load_trained(preset: str, run_dir: str, checkpoint: str = "best",
     cfg = build_preset(preset)
     data = dataclasses.replace(cfg.data, image_root=image_root)
     trainer = Trainer(
-        model=RegressionModel(config=cfg.model),
+        model=RegressionModel(config=dataclasses.replace(
+            cfg.model, image_size=data.image_size)),
         objective=objective_for(cfg),
         optim_cfg=cfg.optim, train_cfg=cfg.train, data_cfg=data,
         mesh=mesh if mesh is not None else create_mesh(),

@@ -62,8 +62,7 @@ def main(argv=None):
     targets = manifest.latlon if is_geo else manifest.angle
     val_source = make_source(manifest.paths(), targets, manifest.filenames)
 
-    metrics = trainer.evaluate(val_source)
-    preds = trainer.predict(val_source)
+    metrics, preds = trainer.evaluate_and_predict(val_source)
     val_csv = os.path.join(out_dir, "validation_predictions.csv")
     if is_geo:
         write_geopose_validation_csv(val_csv, manifest.filenames,

@@ -33,8 +33,13 @@ def main(argv=None):
     p.add_argument("--out-dir", default="final_csvs")
     args = p.parse_args(argv)
 
-    if not (args.geopose_preset and args.geopose_run) and \
-            not (args.angle_preset and args.angle_run):
+    geo = bool(args.geopose_preset and args.geopose_run)
+    ang = bool(args.angle_preset and args.angle_run)
+    if bool(args.geopose_preset) != bool(args.geopose_run) or \
+            bool(args.angle_preset) != bool(args.angle_run):
+        raise SystemExit("--geopose-preset/--geopose-run (and the angle "
+                         "pair) must be given together")
+    if not geo and not ang:
         raise SystemExit("need at least one of --geopose-preset/--geopose-run "
                          "or --angle-preset/--angle-run")
 
@@ -59,13 +64,13 @@ def main(argv=None):
             resize_to=cfg.data.eval_resize_to)
         return trainer.predict(source)
 
-    if args.geopose_preset:
+    if geo:
         latlon = predict(args.geopose_preset, args.geopose_run, 2)
         path = os.path.join(args.out_dir, "test_predictions_sorted.csv")
         write_geopose_test_csv(path, names, latlon)
         outputs["geopose_csv"] = path
 
-    if args.angle_preset:
+    if ang:
         angle = predict(args.angle_preset, args.angle_run, 1)
         path = os.path.join(args.out_dir, "test_pred.csv")
         write_angle_test_csv(path, names, angle)

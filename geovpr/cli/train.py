@@ -29,8 +29,9 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--pretrained", default="",
-                   help="path to a converted checkpoint (msgpack/orbax) to "
-                        "initialize the backbone from")
+                   help="flax-msgpack BACKBONE variables from "
+                        "geovpr.models.convert_torch to initialize from "
+                        "(head stays fresh)")
     p.add_argument("--resume", default="", help="run dir to resume from")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steady-state "
@@ -94,18 +95,17 @@ def main(argv=None):
 
     pretrained = None
     if args.pretrained:
-        # converted backbone weights (geovpr.models.convert_torch output
-        # serialized with flax.serialization.msgpack_serialize) — overlaid
-        # onto the fresh init, nested under "backbone" to match
-        # RegressionModel's tree if the file holds bare backbone variables
+        # BACKBONE variables from geovpr.models.convert_torch (flax msgpack)
+        # — always nested under "backbone" to match RegressionModel's tree.
+        # (A key-presence heuristic would misfire: convert_salad_hub output
+        # itself contains a top-level "backbone" subtree.)
         from flax.serialization import msgpack_restore
         with open(args.pretrained, "rb") as f:
             pretrained = msgpack_restore(f.read())
-        if "params" in pretrained and "backbone" not in pretrained["params"]:
-            pretrained = {
-                k: {"backbone": v} for k, v in pretrained.items()}
+        pretrained = {k: {"backbone": v} for k, v in pretrained.items()}
 
-    model = RegressionModel(config=cfg.model)
+    model = RegressionModel(config=dataclasses.replace(
+        cfg.model, image_size=data.image_size))
     trainer = Trainer(
         model=model,
         objective=objective_for(cfg),

@@ -70,6 +70,10 @@ class ModelConfig:
     head_dropout: float = 0.3
     out_dim: int = 2
     pooling: str = "pooler"
+    # input resolution the backbone is built for; 0 = the family default
+    # (224 for dinov2/convnext/efficientnet; swin variants fix their own).
+    # cli/train sets this from DataConfig.image_size.
+    image_size: int = 0
     freeze_backbone: bool = False  # frozen-descriptor path, dinov2salad_finetuning.py:25-26
     use_pallas: bool = True        # Pallas kernels where available (else pure-XLA path)
     remat: bool = False            # jax.checkpoint each block: activation memory O(1)

@@ -75,18 +75,6 @@ class Mlp(nn.Module):
         return x
 
 
-class LayerScale(nn.Module):
-    """Per-channel learned residual scaling (DINOv2, ConvNeXt)."""
-
-    dim: int
-    init_value: float = 1.0
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        gamma = self.param(
-            "gamma", nn.initializers.constant(self.init_value), (self.dim,))
-        return x * gamma.astype(x.dtype)
-
 
 def normalize_l2(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     """L2 normalization matching torch.nn.functional.normalize semantics
@@ -94,14 +82,3 @@ def normalize_l2(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
     return x / jnp.maximum(norm, eps)
 
-
-def make_divisible(v: float, divisor: int = 8, min_value: Optional[int] = None) -> int:
-    """Channel rounding rule used by the EfficientNet family (torchvision
-    `_make_divisible`): round to nearest multiple of `divisor`, never going
-    below 90% of the original value."""
-    if min_value is None:
-        min_value = divisor
-    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
-    if new_v < 0.9 * v:
-        new_v += divisor
-    return new_v

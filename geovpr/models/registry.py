@@ -18,13 +18,20 @@ def build_backbone(cfg: ModelConfig, dtype=jnp.float32):
         from geovpr.models.swin import SwinTransformer, SWIN_VARIANTS
         if cfg.variant not in SWIN_VARIANTS:
             raise ValueError(f"unknown swin variant {cfg.variant!r}")
-        return SwinTransformer(**SWIN_VARIANTS[cfg.variant], dtype=dtype,
+        spec = SWIN_VARIANTS[cfg.variant]
+        if cfg.image_size and cfg.image_size != spec["image_size"]:
+            raise ValueError(
+                f"swin variant {cfg.variant!r} is fixed at "
+                f"{spec['image_size']}px (window partitioning); got "
+                f"image_size={cfg.image_size}")
+        return SwinTransformer(**spec, dtype=dtype,
                                use_pallas=cfg.use_pallas, remat=cfg.remat)
     if family == "dinov2":
         from geovpr.models.dinov2 import DinoV2, DINOV2_VARIANTS
         if cfg.variant not in DINOV2_VARIANTS:
             raise ValueError(f"unknown dinov2 variant {cfg.variant!r}")
         return DinoV2(**DINOV2_VARIANTS[cfg.variant], dtype=dtype,
+                      image_size=cfg.image_size or 224,
                       use_pallas=cfg.use_pallas, remat=cfg.remat)
     if family == "dinov2_salad":
         from geovpr.models.dinov2 import DINOV2_VARIANTS
@@ -32,6 +39,7 @@ def build_backbone(cfg: ModelConfig, dtype=jnp.float32):
         if cfg.variant not in DINOV2_VARIANTS:
             raise ValueError(f"unknown dinov2_salad variant {cfg.variant!r}")
         return DinoV2Salad(variant=cfg.variant, dtype=dtype,
+                           image_size=cfg.image_size or 224,
                            use_pallas=cfg.use_pallas, remat=cfg.remat)
     if family == "convnext":
         from geovpr.models.convnext import ConvNeXt, CONVNEXT_VARIANTS

@@ -37,7 +37,6 @@ class SaladHead(nn.Module):
     token_dim: int = 256
     hidden: int = 512
     sinkhorn_iters: int = 3
-    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,6 +100,5 @@ class DinoV2Salad(nn.Module):
         desc = SaladHead(
             num_clusters=self.num_clusters, cluster_dim=self.cluster_dim,
             token_dim=self.token_dim, sinkhorn_iters=self.sinkhorn_iters,
-            use_pallas=self.use_pallas, name="salad",
-            dtype=self.dtype)(out.tokens, out.cls)
+            name="salad", dtype=self.dtype)(out.tokens, out.cls)
         return BackboneOutput(pooled=desc, tokens=out.tokens, cls=out.cls)

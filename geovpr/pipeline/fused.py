@@ -62,26 +62,28 @@ class FusedPipeline:
     def __post_init__(self):
         self._step = jax.jit(self._forward)
 
-    def _forward(self, images):
+    def _forward(self, geo_v, ang_v, desc_v, images):
+        # variables are traced ARGUMENTS — closing over them would bake
+        # every weight into the executable as XLA constants (compile time
+        # and HBM roughly double, and swapping variables becomes a no-op)
         x = normalize(images, self.mean, self.std)
         out = {}
         if self.geopose_model is not None:
             preds = self.geopose_model.apply(
-                self.geopose_variables, x, train=False, deterministic=True)
+                geo_v, x, train=False, deterministic=True)
             if self.geopose_scaler is not None:
                 preds = self.geopose_scaler.inverse_transform(preds)
             out["latlon"] = preds
         if self.angle_model is not None:
             raw = self.angle_model.apply(
-                self.angle_variables, x, train=False, deterministic=True)
+                ang_v, x, train=False, deterministic=True)
             if self.angle_codec is not None:
                 out["angle"] = self.angle_codec.decode(raw)
             else:
                 out["angle"] = jnp.mod(raw[..., 0], 360.0)
         if self.descriptor_model is not None:
             out["descriptor"] = self.descriptor_model.apply(
-                self.descriptor_variables, x, train=False,
-                deterministic=True).pooled
+                desc_v, x, train=False, deterministic=True).pooled
         return out
 
     def run(self, source) -> dict[str, np.ndarray]:
@@ -92,7 +94,8 @@ class FusedPipeline:
         for batch in prefetch_to_device(
                 iterate_batches(source, self.batch_size), self.mesh):
             idx = batch.pop("_indices")
-            out = self._step(batch["image"])
+            out = self._step(self.geopose_variables, self.angle_variables,
+                             self.descriptor_variables, batch["image"])
             for key, val in out.items():
                 val = np.asarray(val)[:len(idx)]
                 if key not in results:

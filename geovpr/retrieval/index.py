@@ -66,6 +66,9 @@ class DescriptorIndex:
     axis: str = "data"
     _db: Optional[jax.Array] = None
     _n: int = 0
+    # compiled sharded-search executables keyed by k — rebuilding the
+    # shard_map closure per call would retrace/recompile on every search
+    _search_cache: dict = dataclasses.field(default_factory=dict)
 
     def build(self, descriptors: jax.Array | np.ndarray,
               normalized: bool = True) -> "DescriptorIndex":
@@ -108,6 +111,8 @@ class DescriptorIndex:
 
         if k > self._n:
             raise ValueError(f"k={k} exceeds index size {self._n}")
+        if k in self._search_cache:
+            return self._search_cache[k](self._db, q)
         # each shard can contribute at most its own rows; n_shards * local_k
         # always covers the global k because k <= total rows
         local_k = min(k, shard_rows)
@@ -139,7 +144,8 @@ class DescriptorIndex:
             # outputs are value-replicated after the all_gather + local
             # top_k, but the static VMA checker cannot prove it
             check_vma=False)
-        return jax.jit(fn)(self._db, q)
+        self._search_cache[k] = jax.jit(fn)
+        return self._search_cache[k](self._db, q)
 
 
 def recall_at_k_radius(retrieved_idx: jax.Array, query_latlon: jax.Array,

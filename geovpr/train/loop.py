@@ -269,14 +269,26 @@ class Trainer:
 
     def predict(self, source) -> np.ndarray:
         """Decoded predictions for every row of `source`, in source order."""
+        _, preds = self.evaluate_and_predict(source)
+        return preds
+
+    def evaluate_and_predict(self, source) -> tuple:
+        """Metrics + per-row decoded predictions in ONE inference pass —
+        the eval step already returns both, so callers that need metrics
+        and a prediction CSV (cli/evaluate.py) don't forward twice."""
+        sums = None
         out = None
         for batch in prefetch_to_device(
                 iterate_batches(source, self.data_cfg.batch_size),
                 self.mesh, self.data_cfg.prefetch_depth):
             idx = batch.pop("_indices")
-            _, decoded = self._eval_step(self.state, batch)
+            s, decoded = self._eval_step(self.state, batch)
+            sums = s if sums is None else jax.tree_util.tree_map(
+                jnp.add, sums, s)
             decoded = np.asarray(decoded)
             if out is None:
                 out = np.zeros((len(source),) + decoded.shape[1:], np.float32)
             out[idx] = decoded[:len(idx)]
-        return out
+        metrics = summarize_eval(self.objective,
+                                 {k: float(v) for k, v in sums.items()})
+        return metrics, out
