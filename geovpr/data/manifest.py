@@ -80,9 +80,9 @@ def load_manifest(
         reader = csv.DictReader(f)
         for row in reader:
             name = row["filename"]
-            if image_root and screen_missing_files:
+            if image_root and (screen_missing_files or screen_corrupt_images):
                 path = os.path.join(image_root, name)
-                if not os.path.isfile(path):
+                if screen_missing_files and not os.path.isfile(path):
                     continue
                 if screen_corrupt_images and not _verify_image(path):
                     continue

@@ -65,33 +65,35 @@ def shard_state(mesh: Mesh, state, model_axis: str = "model"):
     """Shard a TrainState: params + optimizer moment trees via TP rules,
     everything else replicated.
 
-    Optax moment trees (Adam mu/nu, decayed-weights masks, ...) mirror the
-    params tree exactly, so any subtree of opt_state whose treedef equals
-    the params treedef gets the params shardings; remaining array leaves
-    (counts, lr_scale) are replicated."""
+    Optimizer moments are sharded by applying `param_spec` to EVERY array
+    leaf of opt_state by its key path: optax moment trees keep the param
+    path as a suffix (…/mu/backbone/block0/mlp/fc1/kernel), so the same
+    name-based rules apply. A treedef-equality match against the params
+    tree would silently miss `optax.multi_transform`/`masked` states, whose
+    MaskedNode placeholders change the tree structure — replicating every
+    moment in exactly the differential-LR and frozen-warmup recipes."""
     params = shard_params(mesh, state.params, model_axis)
-    sharding_tree = jax.tree_util.tree_map(lambda p: p.sharding, params)
-    params_treedef = jax.tree_util.tree_structure(state.params)
+    axis_size = mesh.shape[model_axis]
     rep = NamedSharding(mesh, P())
 
     def _put_rep(x):
         return jax.device_put(x, rep) if hasattr(x, "shape") else x
 
-    def walk(node):
-        if jax.tree_util.tree_structure(node) == params_treedef:
-            return jax.tree_util.tree_map(jax.device_put, node, sharding_tree)
-        if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        if isinstance(node, (list, tuple)):
-            mapped = [walk(v) for v in node]
-            if hasattr(node, "_fields"):  # namedtuple (optax states)
-                return type(node)(*mapped)
-            return type(node)(mapped)
-        return _put_rep(node)
+    def _put_opt(path, leaf):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        spec = param_spec(path, leaf, model_axis)
+        for dim, name in zip(leaf.shape, spec):
+            if name == model_axis and dim % axis_size != 0:
+                spec = P()
+                break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    opt_state = jax.tree_util.tree_map_with_path(_put_opt, state.opt_state)
 
     return state.replace(
         params=params,
-        opt_state=walk(state.opt_state),
+        opt_state=opt_state,
         batch_stats=jax.tree_util.tree_map(_put_rep, state.batch_stats),
         scaler=jax.tree_util.tree_map(_put_rep, state.scaler),
         step=_put_rep(state.step), rng=_put_rep(state.rng))

@@ -73,21 +73,34 @@ def create_train_state(
     )
 
 
-def _merge_pretrained(init_tree: dict, pretrained: dict) -> dict:
+def _merge_pretrained(init_tree: dict, pretrained: dict,
+                      path: str = "") -> dict:
     """Overlay pretrained leaves onto an init tree (backbone pretrained,
-    head fresh — the reference's universal pattern). Shapes must match
-    where keys overlap."""
+    head fresh — the reference's universal pattern). Every pretrained key
+    must exist in the init tree with a matching shape — silently inserting
+    unknown keys would leave the real parameters randomly initialized
+    while flax ignores the orphans."""
     if not pretrained:
         return init_tree
     out = dict(init_tree)
     for k, v in pretrained.items():
-        if k in out and isinstance(v, dict) and isinstance(out[k], dict):
-            out[k] = _merge_pretrained(out[k], v)
+        where = f"{path}/{k}" if path else k
+        if k not in out:
+            raise ValueError(
+                f"pretrained key {where!r} not in the model's parameter "
+                f"tree (have: {sorted(out)}); converted with the wrong "
+                f"converter or for a different family/variant?")
+        if isinstance(v, dict) != isinstance(out[k], dict):
+            raise ValueError(
+                f"pretrained structure mismatch at {where!r}: "
+                f"{'subtree' if isinstance(v, dict) else 'leaf'} vs model "
+                f"{'subtree' if isinstance(out[k], dict) else 'leaf'}")
+        if isinstance(v, dict):
+            out[k] = _merge_pretrained(out[k], v, where)
         else:
-            if k in out and hasattr(out[k], "shape"):
-                if tuple(out[k].shape) != tuple(v.shape):
-                    raise ValueError(
-                        f"pretrained shape mismatch at {k}: "
-                        f"{tuple(v.shape)} vs {tuple(out[k].shape)}")
+            if tuple(out[k].shape) != tuple(v.shape):
+                raise ValueError(
+                    f"pretrained shape mismatch at {where!r}: "
+                    f"{tuple(v.shape)} vs {tuple(out[k].shape)}")
             out[k] = jnp.asarray(v)
     return out

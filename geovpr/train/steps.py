@@ -43,12 +43,20 @@ def make_train_step(objective, normalize_fn=None, augment_fn=None,
     def train_step(state: TrainState, batch):
         rng, aug_rng, new_rng = jax.random.split(state.rng, 3)
         images = batch["image"]
-        if normalize_fn is not None:
-            images = normalize_fn(images)
         targets = batch["target"]
         if augment_fn is not None:
-            images, flip = augment_fn(aug_rng, images)
+            # augment on [0,1] RAW pixels, BEFORE normalization — the
+            # reference jitters PIL images then normalizes
+            # (swin_finetuning_2.py:78-82); jitter on normalized values
+            # would turn brightness into contrast and rotate-padding into
+            # ImageNet-mean gray. Clamp like torchvision's functional ops.
+            x01 = (images.astype(jnp.float32) / 255.0
+                   if images.dtype == jnp.uint8 else images)
+            x01, flip = augment_fn(aug_rng, x01)
+            images = jnp.clip(x01, 0.0, 1.0)
             targets = objective.remap_flip(targets, flip)
+        if normalize_fn is not None:
+            images = normalize_fn(images)
         batch = dict(batch, image=images, target=targets)
         enc_targets = objective.encode_targets(batch["target"], state.scaler)
         mask = batch.get("mask")
@@ -83,7 +91,10 @@ def make_train_step(objective, normalize_fn=None, augment_fn=None,
                 if hasattr(new, "dtype") and jnp.issubdtype(new.dtype, jnp.floating)
                 else new,
                 new_state, state.replace(rng=new_rng, step=state.step + 1))
-            metrics = {"loss": loss, "skipped": (~grads_finite).astype(jnp.float32)}
+            # report 0 for a skipped step's loss: the raw NaN would poison
+            # the host's epoch mean even though the update was discarded
+            metrics = {"loss": jnp.where(grads_finite, loss, 0.0),
+                       "skipped": (~grads_finite).astype(jnp.float32)}
         else:
             metrics = {"loss": loss, "skipped": jnp.zeros((), jnp.float32)}
         return new_state, metrics
@@ -129,10 +140,14 @@ def make_eval_step(objective, normalize_fn=None,
             sums["abs_err_lon"] = jnp.sum(jnp.abs(err[:, 1]) * m)
             sums["sq_err_lat"] = jnp.sum(err[:, 0] ** 2 * m)
             sums["sq_err_lon"] = jnp.sum(err[:, 1] ** 2 * m)
-        else:  # angle: circular error sums
+        else:  # angle: ALL error sums are circular — a raw (decoded -
+            # target) difference is meaningless across the 0/360 wrap (and
+            # the train manifest has targets up to 750 deg)
             from geovpr.objectives.losses import angular_error_deg
             ang = angular_error_deg(decoded, target)
             sums["ang_err"] = jnp.sum(ang * m)
+            sums["sq_err"] = jnp.sum(ang ** 2 * m)
+            sums["abs_err"] = sums["ang_err"]
         return sums, decoded
 
     return eval_step

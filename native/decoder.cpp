@@ -23,6 +23,7 @@
 #include <functional>
 #include <mutex>
 #include <queue>
+#include <memory>
 #include <thread>
 #include <vector>
 
@@ -59,7 +60,19 @@ bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
   jpeg_start_decompress(&cinfo);
   *width = cinfo.output_width;
   *height = cinfo.output_height;
-  out->resize(size_t(*width) * (*height) * 3);
+  // reject absurd headers (crafted/corrupt files): >64M pixels would be a
+  // ~200MB allocation per worker and legit campus photos are far smaller
+  if (*width <= 0 || *height <= 0 ||
+      size_t(*width) * size_t(*height) > (64u << 20)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  try {
+    out->resize(size_t(*width) * (*height) * 3);
+  } catch (const std::bad_alloc&) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
   const size_t stride = size_t(*width) * 3;
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = out->data() + size_t(cinfo.output_scanline) * stride;
@@ -70,8 +83,30 @@ bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
   return true;
 }
 
+// 2x2 box downsample (one octave of antialiasing).
+void box_halve(std::vector<uint8_t>* buf, int* h, int* w) {
+  const int nh = *h / 2, nw = *w / 2;
+  std::vector<uint8_t> out(size_t(nh) * nw * 3);
+  const uint8_t* s = buf->data();
+  for (int y = 0; y < nh; ++y) {
+    for (int x = 0; x < nw; ++x) {
+      for (int c = 0; c < 3; ++c) {
+        const size_t r0 = (size_t(2 * y) * (*w) + 2 * x) * 3 + c;
+        const size_t r1 = (size_t(2 * y + 1) * (*w) + 2 * x) * 3 + c;
+        out[(size_t(y) * nw + x) * 3 + c] =
+            uint8_t((int(s[r0]) + s[r0 + 3] + s[r1] + s[r1 + 3] + 2) / 4);
+      }
+    }
+  }
+  buf->swap(out);
+  *h = nh;
+  *w = nw;
+}
+
 // Bilinear resize RGB8 (src_h, src_w) -> (dst_h, dst_w), torch/PIL-style
-// half-pixel centers (align_corners=false).
+// half-pixel centers (align_corners=false). Large downscales are first
+// box-halved per octave — a plain 2x2-tap bilinear at 10x reduction would
+// sample 1 of ~13 source rows (heavy aliasing vs PIL's area-averaging).
 void resize_bilinear(const uint8_t* src, int src_h, int src_w, uint8_t* dst,
                      int dst_h, int dst_w) {
   const float sy = float(src_h) / dst_h;
@@ -145,15 +180,18 @@ class ThreadPool {
   bool stop_ = false;
 };
 
-ThreadPool* pool = nullptr;
+std::shared_ptr<ThreadPool> pool;
 int pool_size = 0;
 std::mutex pool_mu;
 
-ThreadPool* get_pool(int threads) {
+// Callers hold a shared_ptr for the duration of their batch, so resizing
+// the pool can't free it out from under a concurrent geovpr_decode_batch
+// (ctypes releases the GIL — concurrent calls are real). The pool only
+// grows: shrinking would thrash when two sources alternate thread counts.
+std::shared_ptr<ThreadPool> get_pool(int threads) {
   std::lock_guard<std::mutex> lock(pool_mu);
-  if (pool == nullptr || pool_size != threads) {
-    delete pool;
-    pool = new ThreadPool(threads);
+  if (!pool || threads > pool_size) {
+    pool = std::make_shared<ThreadPool>(threads);
     pool_size = threads;
   }
   return pool;
@@ -172,8 +210,12 @@ extern "C" {
 int geovpr_decode_batch(const uint8_t* blob, const int64_t* offsets, int n,
                         int out_h, int out_w, uint8_t* out, uint8_t* ok,
                         int threads) {
-  ThreadPool* tp = get_pool(threads > 0 ? threads : 8);
-  std::atomic<int> done{0}, good{0};
+  std::shared_ptr<ThreadPool> tp = get_pool(threads > 0 ? threads : 8);
+  std::atomic<int> good{0};
+  // `done` is mutated and signaled UNDER done_mu: incrementing outside the
+  // lock races the waiter's wakeup against this frame's destruction (the
+  // last worker could notify a condvar that no longer exists)
+  int done = 0;
   std::mutex done_mu;
   std::condition_variable done_cv;
 
@@ -182,25 +224,37 @@ int geovpr_decode_batch(const uint8_t* blob, const int64_t* offsets, int n,
     tp->submit([&, i] {
       const uint8_t* data = blob + offsets[i];
       const size_t size = size_t(offsets[i + 1] - offsets[i]);
-      std::vector<uint8_t> rgb;
-      int w = 0, h = 0;
       uint8_t* dst = out + size_t(i) * out_stride;
-      if (decode_jpeg(data, size, &rgb, &w, &h)) {
-        resize_bilinear(rgb.data(), h, w, dst, out_h, out_w);
+      bool success = false;
+      try {
+        std::vector<uint8_t> rgb;
+        int w = 0, h = 0;
+        if (decode_jpeg(data, size, &rgb, &w, &h)) {
+          while (h >= 2 * out_h && w >= 2 * out_w) box_halve(&rgb, &h, &w);
+          resize_bilinear(rgb.data(), h, w, dst, out_h, out_w);
+          success = true;
+        }
+      } catch (...) {
+        // an escaping exception would std::terminate the process from a
+        // pool thread; the contract is ok[i]=0 + zeroed slot
+        success = false;
+      }
+      if (success) {
         ok[i] = 1;
         good.fetch_add(1);
       } else {
         memset(dst, 0, out_stride);
         ok[i] = 0;
       }
-      if (done.fetch_add(1) + 1 == n) {
+      {
         std::lock_guard<std::mutex> lock(done_mu);
+        ++done;
         done_cv.notify_one();
       }
     });
   }
   std::unique_lock<std::mutex> lock(done_mu);
-  done_cv.wait(lock, [&] { return done.load() == n; });
+  done_cv.wait(lock, [&] { return done == n; });
   return good.load();
 }
 

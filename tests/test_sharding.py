@@ -112,3 +112,46 @@ class TestShardParams:
         params = {"attn": {"query": {"kernel": jnp.zeros((6, 6))}}}
         out = shard_params(mesh, params)  # 6 % 4 != 0 -> replicate
         assert out["attn"]["query"]["kernel"].sharding.spec == P()
+
+
+class TestShardStateMoments:
+    def test_multi_transform_moments_sharded(self):
+        """Adam moments must get TP shardings even under multi_transform
+        (differential-LR recipes) — a treedef match against the params tree
+        misses MaskedNode-wrapped states and replicates everything."""
+        import jax.numpy as jnp2
+        from geovpr.core.config import OptimConfig
+        from geovpr.parallel.sharding_rules import shard_state
+        from geovpr.train.optimizer import build_optimizer
+        from geovpr.train.state import create_train_state
+        from geovpr.models.dinov2 import DinoV2
+        import flax.linen as nn
+
+        class Tiny(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False, deterministic=True):
+                out = DinoV2(hidden_size=64, num_layers=1, num_heads=4,
+                             patch_size=14, image_size=28,
+                             name="backbone")(x, train, deterministic)
+                return nn.Dense(2, name="head_out")(out.cls)
+
+        mesh = create_mesh((2, 4), ("data", "model"))
+        tx = build_optimizer(
+            OptimConfig(lr=1e-3, backbone_lr_scale=0.5, schedule="constant"),
+            total_steps=10)
+        state = create_train_state(Tiny(), tx, jax.random.PRNGKey(0),
+                                   jnp2.zeros((1, 28, 28, 3)), out_dim=2)
+        state = shard_state(mesh, state)
+
+        found = []
+
+        def check(path, leaf):
+            names = [str(getattr(p, "key", p)) for p in path]
+            if (hasattr(leaf, "sharding") and len(names) >= 2
+                    and names[-1] == "kernel" and names[-2] == "fc1"):
+                found.append(str(leaf.sharding.spec))
+            return leaf
+
+        jax.tree_util.tree_map_with_path(check, state.opt_state)
+        assert found, "no fc1 kernels found in opt_state"
+        assert all("model" in s for s in found), found
