@@ -116,12 +116,13 @@ def main(argv=None):
         has_batch_stats=(cfg.model.family == "efficientnet"),
         scaler=scaler,
         pretrained_variables=pretrained,
+        # resuming continues the ORIGINAL run dir — naming one here would
+        # also create a stray empty timestamped dir
+        run_dir=args.resume or "",
     )
 
-    n_train = len(train_manifest.filenames)
-    steps_per_epoch = max(
-        n_train // data.batch_size if data.drop_remainder_train
-        else -(-n_train // data.batch_size), 1)
+    steps_per_epoch = Trainer.steps_per_epoch(
+        len(train_manifest.filenames), data)
     start_epoch = 0
     if args.resume:
         from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
@@ -136,18 +137,22 @@ def main(argv=None):
             raise SystemExit(f"no checkpoint under {args.resume}")
         try:
             trainer.state, ckpt_epoch = restore_checkpoint(ckpt, trainer.state)
-        except Exception:
-            # checkpoint was written in the post-unfreeze phase, whose
-            # opt_state tree differs from the frozen-warmup template —
-            # rebuild the phase-2 optimizer and retry
-            if trainer._frozen_phase:
-                trainer._unfreeze()
+        except Exception as e:
+            # one legitimate mismatch exists: a checkpoint written in the
+            # post-unfreeze phase has a different opt_state tree than the
+            # frozen-warmup template — rebuild phase-2 and retry once,
+            # chaining the original error if the retry fails too
+            if not trainer._frozen_phase:
+                raise
+            trainer._unfreeze()
+            try:
                 trainer.state, ckpt_epoch = restore_checkpoint(
                     ckpt, trainer.state)
-            else:
-                raise
+            except Exception as e2:
+                raise RuntimeError(
+                    f"could not restore {ckpt} with either the frozen-phase "
+                    f"or unfrozen optimizer template") from e
         start_epoch = ckpt_epoch + 1
-        trainer.run_dir = args.resume  # continue the same run dir
         print(f"resumed from {ckpt}; continuing at epoch {start_epoch}")
 
     # validation uses the eval-time transform (e.g. Resize(256)+CenterCrop,

@@ -44,19 +44,26 @@ def param_spec(path, leaf, model_axis: str = "model") -> P:
     return P()
 
 
+def _guarded_spec(path, leaf, mesh: Mesh, model_axis: str) -> P:
+    """param_spec with a divisibility guard: anything that doesn't split
+    evenly over the model axis replicates. Single source of truth for both
+    params and optimizer-moment sharding."""
+    spec = param_spec(path, leaf, model_axis)
+    axis_size = mesh.shape[model_axis]
+    for dim, name in zip(leaf.shape, spec):
+        if name == model_axis and dim % axis_size != 0:
+            return P()
+    return spec
+
+
 def shard_params(mesh: Mesh, params: Any, model_axis: str = "model") -> Any:
     """device_put a parameter tree with TP shardings over `model_axis`.
     Dims not divisible by the axis size fall back to replication."""
-    axis_size = mesh.shape[model_axis]
 
     def _put(path, leaf):
-        spec = param_spec(path, leaf, model_axis)
-        # divisibility guard: replicate anything that doesn't split evenly
-        for dim, name in zip(leaf.shape, spec):
-            if name == model_axis and dim % axis_size != 0:
-                spec = P()
-                break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(
+            leaf, NamedSharding(mesh, _guarded_spec(path, leaf, mesh,
+                                                    model_axis)))
 
     return jax.tree_util.tree_map_with_path(_put, params)
 
@@ -73,7 +80,6 @@ def shard_state(mesh: Mesh, state, model_axis: str = "model"):
     MaskedNode placeholders change the tree structure — replicating every
     moment in exactly the differential-LR and frozen-warmup recipes."""
     params = shard_params(mesh, state.params, model_axis)
-    axis_size = mesh.shape[model_axis]
     rep = NamedSharding(mesh, P())
 
     def _put_rep(x):
@@ -82,12 +88,9 @@ def shard_state(mesh: Mesh, state, model_axis: str = "model"):
     def _put_opt(path, leaf):
         if not hasattr(leaf, "shape"):
             return leaf
-        spec = param_spec(path, leaf, model_axis)
-        for dim, name in zip(leaf.shape, spec):
-            if name == model_axis and dim % axis_size != 0:
-                spec = P()
-                break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return jax.device_put(
+            leaf, NamedSharding(mesh, _guarded_spec(path, leaf, mesh,
+                                                    model_axis)))
 
     opt_state = jax.tree_util.tree_map_with_path(_put_opt, state.opt_state)
 

@@ -111,19 +111,36 @@ class Trainer:
             pretrained_variables=self.pretrained_variables)
         return self.state
 
+    @staticmethod
+    def steps_per_epoch(n: int, data_cfg: DataConfig) -> int:
+        """Optimizer steps per epoch — the single source of truth shared
+        with the resume path in cli/train.py (schedule horizons must match
+        the original run exactly)."""
+        bs = data_cfg.batch_size
+        return max(n // bs if data_cfg.drop_remainder_train else -(-n // bs),
+                   1)
+
     # ------------------------------------------------------------------- fit
     def fit(self, train_source, val_source=None,
             epochs: Optional[int] = None, start_epoch: int = 0) -> list:
         """Train for epochs [start_epoch, epochs). `start_epoch` > 0 resumes
         mid-run (after `restore_checkpoint`): checkpoint numbering, shuffle
-        seeds, and the freeze/unfreeze phase all continue where the original
-        run stopped (reference resume: swin_finetuning_bigger_model.py:76-84)."""
+        seeds, the freeze/unfreeze phase, and the best-metric all continue
+        where the original run stopped (reference resume:
+        swin_finetuning_bigger_model.py:76-84). Known gap: the early-stop
+        and plateau COUNTERS restart at 0 (they are not persisted in
+        checkpoints), so a resumed run may train up to patience-1 extra
+        non-improving epochs."""
         cfg = self.train_cfg
         epochs = epochs or cfg.epochs
         bs = self.data_cfg.batch_size
         n = len(train_source)
-        steps_per_epoch = max(
-            n // bs if self.data_cfg.drop_remainder_train else -(-n // bs), 1)
+        if self.data_cfg.drop_remainder_train and n < bs:
+            raise ValueError(
+                f"dataset ({n} rows) smaller than batch_size ({bs}) with "
+                f"drop_remainder_train=True: every epoch would train zero "
+                f"steps. Lower the batch size or disable drop_remainder.")
+        steps_per_epoch = self.steps_per_epoch(n, self.data_cfg)
 
         if self.state is None:
             img = train_source.get_batch(np.array([0]))["image"][0]
@@ -180,8 +197,15 @@ class Trainer:
                     profiling = False
             if profiling:
                 jax.profiler.stop_trace()
-            train_loss = float(np.mean([float(m["loss"]) for m in train_metrics]))
-            skipped = int(sum(float(m["skipped"]) for m in train_metrics))
+            losses = np.array([float(m["loss"]) for m in train_metrics])
+            skips = np.array([float(m["skipped"]) for m in train_metrics])
+            applied = skips < 0.5
+            # mean over APPLIED updates only — skipped steps report loss 0,
+            # which would deflate the epoch mean exactly when training is
+            # least stable
+            train_loss = float(losses[applied].mean()) if applied.any() \
+                else float("nan")
+            skipped = int(skips.sum())
 
             record = {"epoch": epoch, "train_loss": train_loss,
                       "skipped_updates": skipped,
@@ -254,6 +278,10 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, source) -> dict:
+        if len(source) == 0:
+            raise ValueError("evaluate() on an empty source — check the val "
+                             "CSV / --image-root (missing-file screening "
+                             "may have dropped every row)")
         sums = None
         for batch in prefetch_to_device(
                 iterate_batches(source, self.data_cfg.batch_size),
@@ -276,6 +304,9 @@ class Trainer:
         """Metrics + per-row decoded predictions in ONE inference pass —
         the eval step already returns both, so callers that need metrics
         and a prediction CSV (cli/evaluate.py) don't forward twice."""
+        if len(source) == 0:
+            raise ValueError("predict on an empty source — check the CSV / "
+                             "image root")
         sums = None
         out = None
         for batch in prefetch_to_device(

@@ -210,6 +210,11 @@ extern "C" {
 int geovpr_decode_batch(const uint8_t* blob, const int64_t* offsets, int n,
                         int out_h, int out_w, uint8_t* out, uint8_t* ok,
                         int threads) {
+  // out_h/out_w <= 0 would make the box-halve loop below spin forever
+  if (n <= 0 || out_h <= 0 || out_w <= 0) {
+    for (int i = 0; i < n; ++i) ok[i] = 0;
+    return 0;
+  }
   std::shared_ptr<ThreadPool> tp = get_pool(threads > 0 ? threads : 8);
   std::atomic<int> good{0};
   // `done` is mutated and signaled UNDER done_mu: incrementing outside the
