@@ -40,5 +40,22 @@ def load_trained(preset: str, run_dir: str, checkpoint: str = "best",
         ckpt = os.path.join(run_dir, checkpoint)
     if ckpt is None or not os.path.isdir(ckpt):
         raise SystemExit(f"no checkpoint {checkpoint!r} under {run_dir}")
-    trainer.state, _ = restore_checkpoint(ckpt, trainer.state)
+    try:
+        trainer.state, _ = restore_checkpoint(ckpt, trainer.state)
+    except Exception as e:
+        # Freeze-then-unfreeze presets (freeze_backbone_epochs > 0): any
+        # checkpoint written after the unfreeze has the phase-2 opt_state
+        # tree, which doesn't match the frozen-phase template built above —
+        # rebuild unfrozen and retry once (same recovery as cli/train.py's
+        # resume path; without it evaluate/fuse crash for e.g.
+        # dinov2_sincos_gemini past epoch 5)
+        if not trainer._frozen_phase:
+            raise
+        trainer._unfreeze()
+        try:
+            trainer.state, _ = restore_checkpoint(ckpt, trainer.state)
+        except Exception:
+            raise RuntimeError(
+                f"could not restore {ckpt} with either the frozen-phase or "
+                f"unfrozen optimizer template") from e
     return trainer, cfg

@@ -31,6 +31,12 @@ def main(argv=None):
     p.add_argument("--image-root", required=True)
     p.add_argument("--test-dir", default="")
     p.add_argument("--out-dir", default="")
+    p.add_argument("--submission-csv", default="",
+                   help="also write the submission-format preds.csv "
+                        "(ID,latitude,longitude — ID parsed from filename "
+                        "digits, sorted numerically; swin_validation.py:"
+                        "121-134) from the val predictions. Geopose presets "
+                        "only.")
     args = p.parse_args(argv)
 
     from geovpr.core.config import GeoposeConfig
@@ -39,6 +45,7 @@ def main(argv=None):
     from geovpr.pipeline.export import (
         write_angle_test_csv,
         write_angle_validation_csv,
+        write_geopose_preds_csv,
         write_geopose_test_csv,
         write_geopose_validation_csv,
     )
@@ -72,6 +79,16 @@ def main(argv=None):
                                    manifest.angle, preds)
 
     outputs = {"metrics": metrics, "validation_csv": val_csv}
+
+    if args.submission_csv:
+        if not is_geo:
+            raise SystemExit("--submission-csv is a geopose export "
+                             "(ID,latitude,longitude); this preset is an "
+                             "angle workload")
+        sub = (args.submission_csv if os.path.isabs(args.submission_csv)
+               else os.path.join(out_dir, args.submission_csv))
+        write_geopose_preds_csv(sub, manifest.filenames, preds)
+        outputs["submission_csv"] = sub
 
     if args.test_dir:
         names = list_test_images(args.test_dir)

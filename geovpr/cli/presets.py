@@ -62,8 +62,8 @@ GEOPOSE_PRESETS = {
     # 8448->512->512->2 :28-32, MSE, 100 epochs
     "dinov2salad_frozen_mlp": GeoposeConfig(
         data=DataConfig(image_size=224, batch_size=32),
-        model=ModelConfig(family="dinov2_salad", head="mlp2",
-                          head_hidden=512, freeze_backbone=True),
+        model=ModelConfig(family="dinov2_salad", variant="base-14",
+                          head="mlp2", head_hidden=512, freeze_backbone=True),
         optim=OptimConfig(lr=1e-3, weight_decay=0.0, backbone_lr_scale=0.0),
         train=TrainConfig(epochs=100),
         loss="mse"),

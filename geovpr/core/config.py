@@ -40,7 +40,12 @@ class DataConfig:
     shuffle_buffer: int = 0
     num_decode_threads: int = 8
     prefetch_depth: int = 2
-    drop_remainder_train: bool = True
+    # False matches the reference DataLoader's drop_last=False (every row
+    # trains every epoch); shapes stay static anyway — the final partial
+    # batch is padded and the padded rows are masked out of loss/metrics.
+    # True trades the ragged tail (e.g. 2 of 6,378 train images at bs=16)
+    # for one fewer compiled step shape. See docs/DESIGN.md "Parity deltas".
+    drop_remainder_train: bool = False
     decoder: str = "pil"       # pil | native (C++ libjpeg, PIL fallback)
     # eval/test-time short-side resize before center-cropping image_size
     # (Resize(256)+CenterCrop(224), validation_script.py:124-129); 0 = plain

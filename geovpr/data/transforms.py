@@ -130,6 +130,60 @@ def random_resized_crop(rng: jax.Array, images: jax.Array,
     return jax.vmap(crop_one)(images, y0, x0, ch, cw)
 
 
+def gauss_noise(rng: jax.Array, images: jax.Array,
+                var_range: Tuple[float, float] = (10.0, 50.0),
+                p: float = 0.2) -> jax.Array:
+    """albumentations GaussNoise analog (swin_attempt_3.py:66): additive
+    gaussian noise with a per-sample variance drawn from `var_range` on the
+    0-255 scale (albumentations' var_limit default), applied with
+    probability `p` per sample. Input images are [0,1] floats."""
+    k_apply, k_var, k_noise = jax.random.split(rng, 3)
+    b = images.shape[0]
+    apply = jax.random.bernoulli(k_apply, p, (b,))
+    var = jax.random.uniform(k_var, (b,), minval=var_range[0],
+                             maxval=var_range[1])
+    std01 = jnp.sqrt(var) / 255.0
+    noise = jax.random.normal(k_noise, images.shape) \
+        * std01[:, None, None, None]
+    return jnp.where(apply[:, None, None, None], images + noise, images)
+
+
+def random_affine(rng: jax.Array, images: jax.Array,
+                  translate: Tuple[float, float] = (0.1, 0.1),
+                  scale: Tuple[float, float] = (0.9, 1.1)) -> jax.Array:
+    """torchvision RandomAffine(degrees=0, translate=(0.1,0.1),
+    scale=(0.9,1.1)) analog (dino_v2_gemini.py:60): per-sample zoom about
+    the center plus a translation of up to translate*(W,H) pixels, bilinear,
+    zero fill. `translate` is (horizontal, vertical) fractions like
+    torchvision."""
+    b, h, w, c = images.shape
+    k_s, k_tx, k_ty = jax.random.split(rng, 3)
+    s = jax.random.uniform(k_s, (b,), minval=scale[0], maxval=scale[1])
+    tx = jax.random.uniform(k_tx, (b,), minval=-translate[0],
+                            maxval=translate[0]) * w
+    ty = jax.random.uniform(k_ty, (b,), minval=-translate[1],
+                            maxval=translate[1]) * h
+
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+
+    def affine_one(img, si, tyi, txi):
+        # inverse map: output pixel -> source pixel (shift then unzoom)
+        src_y = cy + (yy - cy - tyi) / si
+        src_x = cx + (xx - cx - txi) / si
+        coords = jnp.stack([src_y.ravel(), src_x.ravel()])
+
+        def sample_channel(ch):
+            return jax.scipy.ndimage.map_coordinates(
+                ch, coords, order=1, mode="constant", cval=0.0).reshape(h, w)
+
+        return jnp.stack([sample_channel(img[..., i]) for i in range(c)],
+                         axis=-1)
+
+    return jax.vmap(affine_one)(images, s, ty, tx)
+
+
 def build_augment(name: str):
     """Augmentation pipelines keyed by DataConfig.augment.
 
@@ -152,24 +206,28 @@ def build_augment(name: str):
         return light
 
     if name == "geo_heavy":
-        # flip + jitter + rotate15 (swin_attempt_3.py:60-69, albumentations)
+        # flip + jitter + rotate15 + gauss noise, in the reference's order
+        # (swin_attempt_3.py:60-69, albumentations)
         def heavy(rng, images):
-            k1, k2, k3 = jax.random.split(rng, 3)
+            k1, k2, k3, k4 = jax.random.split(rng, 4)
             x, flip = random_flip(k1, images)
             x = color_jitter(k2, x)
             x = random_rotate(k3, x, 15.0)
+            x = gauss_noise(k4, x)
             return x, flip
         return heavy
 
     if name == "angle_rot":
-        # rotation-heavy pipeline for angle nets (dino_v2_gemini.py:57-62);
+        # rotation-heavy pipeline for angle nets (dino_v2_gemini.py:57-62):
+        # RandomRotation(45) -> RandomAffine(translate/scale) -> ColorJitter;
         # NOTE image rotation here does NOT remap the heading target, same
         # as the reference (rotation around the optical axis changes roll,
         # not heading)
         def rot(rng, images):
-            k1, k2 = jax.random.split(rng)
+            k1, k2, k3 = jax.random.split(rng, 3)
             x = random_rotate(k1, images, 45.0)
-            x = color_jitter(k2, x)
+            x = random_affine(k2, x)
+            x = color_jitter(k3, x)
             return x, jnp.zeros(images.shape[0], bool)
         return rot
 

@@ -72,6 +72,10 @@ class DescriptorIndex:
 
     def build(self, descriptors: jax.Array | np.ndarray,
               normalized: bool = True) -> "DescriptorIndex":
+        # the cached searchers bake in THIS build's n_real/shard_rows/local_k;
+        # a rebuild with a different database size would silently reuse stale
+        # offsets and padded-row masks, returning wrong neighbors
+        self._search_cache.clear()
         x = jnp.asarray(descriptors)
         if x.shape[-1] != self.dim:
             raise ValueError(f"descriptor dim {x.shape[-1]} != index dim {self.dim}")

@@ -125,12 +125,12 @@ class Trainer:
             epochs: Optional[int] = None, start_epoch: int = 0) -> list:
         """Train for epochs [start_epoch, epochs). `start_epoch` > 0 resumes
         mid-run (after `restore_checkpoint`): checkpoint numbering, shuffle
-        seeds, the freeze/unfreeze phase, and the best-metric all continue
-        where the original run stopped (reference resume:
-        swin_finetuning_bigger_model.py:76-84). Known gap: the early-stop
-        and plateau COUNTERS restart at 0 (they are not persisted in
-        checkpoints), so a resumed run may train up to patience-1 extra
-        non-improving epochs."""
+        seeds, the freeze/unfreeze phase, the best-metric, and the
+        early-stop/plateau counters all continue where the original run
+        stopped (reference resume: swin_finetuning_bigger_model.py:76-84;
+        counters travel in each checkpoint's run_metrics.json sidecar so a
+        resumed run early-stops and decays LR on the same epoch an unbroken
+        run would)."""
         cfg = self.train_cfg
         epochs = epochs or cfg.epochs
         bs = self.data_cfg.batch_size
@@ -155,6 +155,8 @@ class Trainer:
 
         best = float("inf")
         best_epoch = -1
+        bad_epochs = 0
+        plateau_bad = 0
         if start_epoch > 0:
             # carry the prior run's best metric forward so a resumed epoch
             # can't overwrite run_dir/best with a worse model
@@ -164,8 +166,20 @@ class Trainer:
                     prior = json.load(f)
                 best = float(prior.get(self.objective.monitor, best))
                 best_epoch = int(prior.get("epoch", -1))
-        bad_epochs = 0
-        plateau_bad = 0
+            # early-stop/plateau counters from the checkpoint we resumed at
+            # (its run_metrics.json sidecar); without them a resumed run
+            # would restart both at 0 — up to patience-1 extra non-improving
+            # epochs and a delayed plateau LR decay
+            side = os.path.join(self.run_dir,
+                                f"checkpoint_{start_epoch - 1}",
+                                "run_metrics.json")
+            if os.path.exists(side):
+                with open(side) as f:
+                    counters = json.load(f)
+                bad_epochs = int(counters.get("bad_epochs", bad_epochs))
+                plateau_bad = int(counters.get("plateau_bad", plateau_bad))
+                best = float(counters.get("best", best))
+                best_epoch = int(counters.get("best_epoch", best_epoch))
 
         for epoch in range(start_epoch, epochs):
             if (self._frozen_phase
@@ -246,7 +260,12 @@ class Trainer:
             if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
                 save_checkpoint(
                     os.path.join(self.run_dir, f"checkpoint_{epoch}"),
-                    self.state, epoch, async_save=cfg.async_checkpoint)
+                    self.state, epoch,
+                    # counters ride the sidecar so resume continues them
+                    metrics={"bad_epochs": bad_epochs,
+                             "plateau_bad": plateau_bad,
+                             "best": best, "best_epoch": best_epoch},
+                    async_save=cfg.async_checkpoint)
                 self._prune_checkpoints()
 
             self.history.append(record)

@@ -52,6 +52,29 @@ class TestPresets:
         obj = objective_for(cfg)
         assert hasattr(obj, "loss") and hasattr(obj, "monitor")
 
+    @pytest.mark.parametrize("name", sorted([*GEOPOSE_PRESETS, *ANGLE_PRESETS]))
+    def test_model_builds(self, name):
+        # Regression guard for round-1's unbuildable dinov2salad_frozen_mlp
+        # preset (default variant leaked into a family that rejects it):
+        # construct each preset's full RegressionModel exactly as cli/train
+        # does, and abstractly init it (jax.eval_shape traces setup() and the
+        # whole forward without running any compute, so even Swin-B-384 is
+        # cheap on CPU).
+        import dataclasses as dc
+        from geovpr.train.model import RegressionModel
+
+        cfg = build_preset(name)
+        model = RegressionModel(config=dc.replace(
+            cfg.model, image_size=cfg.data.image_size))
+        x = jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3),
+                      jnp.float32)
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+        assert "params" in shapes
+        out = jax.eval_shape(
+            lambda v: model.apply(v, x, train=False, deterministic=True),
+            shapes)
+        assert out.shape == (1, cfg.model.out_dim)
+
     def test_unknown_preset(self):
         with pytest.raises(ValueError):
             build_preset("nope")
@@ -206,3 +229,55 @@ class TestRecallRadius:
         assert float(recall_at_k_radius(retrieved, queries, gallery, 25.0, 2)) == 0.5
         retrieved = jnp.array([[0, 1], [2, 0]])
         assert float(recall_at_k_radius(retrieved, queries, gallery, 25.0, 1)) == 1.0
+
+
+class TestEvaluateCliSubmission:
+    def test_submission_csv_id_parse_and_numeric_sort(self, tmp_path,
+                                                      monkeypatch, capsys):
+        """--submission-csv wiring: preds.csv with ID parsed from filename
+        digits and rows sorted numerically (swin_validation.py:121-134) —
+        img_10 must sort AFTER img_2."""
+        import json
+        from PIL import Image
+        import geovpr.cli.common as cli_common
+        from geovpr.cli.evaluate import main
+        from geovpr.core.config import (
+            DataConfig, GeoposeConfig, OptimConfig, TrainConfig)
+        from geovpr.objectives.scaler import fit_scaler
+        from geovpr.objectives.workloads import GeoposeObjective
+        from geovpr.parallel import create_mesh
+        from geovpr.train import Trainer
+        from tests.test_train import TinyModel
+
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        rng = np.random.default_rng(0)
+        names = ["img_10.jpg", "img_2.jpg", "img_7.jpg"]
+        with open(tmp_path / "val.csv", "w") as f:
+            f.write("filename,timestamp,latitude,longitude,angle,Region_ID\n")
+            for i, nm in enumerate(names):
+                Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                             dtype=np.uint8)).save(img_dir / nm)
+                f.write(f"{nm},0,{219000 + i},{143000 + i},0.0,1\n")
+
+        scaler = fit_scaler(jnp.array(
+            rng.normal([219000, 143000], [500, 700], (50, 2)).astype(np.float32)))
+        tr = Trainer(model=TinyModel(out_dim=2),
+                     objective=GeoposeObjective(loss_name="mse"),
+                     optim_cfg=OptimConfig(), train_cfg=TrainConfig(
+                         save_dir=str(tmp_path / "runs")),
+                     data_cfg=DataConfig(image_size=32, batch_size=4),
+                     mesh=create_mesh(), scaler=scaler)
+        tr.init_state((32, 32, 3))
+        monkeypatch.setattr(cli_common, "load_trained",
+                            lambda *a, **k: (tr, GeoposeConfig()))
+
+        main(["--preset", "swin_b384_gemini2", "--run-dir", str(tmp_path),
+              "--val-csv", str(tmp_path / "val.csv"),
+              "--image-root", str(img_dir),
+              "--submission-csv", "preds.csv"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        with open(out["submission_csv"], newline="") as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == ["ID", "latitude", "longitude"]
+        assert [r[0] for r in rows[1:]] == ["2", "7", "10"]

@@ -94,3 +94,27 @@ class TestShardedPaddingMask:
         idx = np.asarray(idx)
         assert (idx < 5).all(), f"padded row leaked into top-k: {idx}"
         assert (np.asarray(scores) < 0).all()
+
+
+class TestRebuildInvalidatesCache:
+    def test_rebuild_with_different_size_returns_fresh_results(self):
+        """Round-2 regression: the compiled sharded searchers bake in the
+        build-time n_real/shard_rows; a rebuild with a different database
+        size must not reuse them (stale shard offsets / padded-row masks
+        silently return wrong neighbors)."""
+        rng = np.random.default_rng(5)
+        mesh = create_mesh()
+        index = DescriptorIndex(dim=32, dtype=jnp.float32, mesh=mesh)
+        q = jnp.array(_unit(rng, 6, 32))
+
+        db1 = _unit(rng, 50, 32)
+        index.build(db1)
+        index.search(q, k=4)  # populate the k=4 cache for the 50-row build
+
+        db2 = _unit(rng, 201, 32)  # different size -> different shard_rows
+        index.build(db2)
+        s, i = index.search(q, k=4)
+        plain = DescriptorIndex(dim=32, dtype=jnp.float32).build(db2)
+        s_ref, i_ref = plain.search(q, k=4)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-5)

@@ -430,3 +430,137 @@ class TestPretrainedInit:
         assert "backbone" not in restored["params"]
         nested = {k: {"backbone": v} for k, v in restored.items()}
         assert "patch_embed" in nested["params"]["backbone"]
+
+
+class TestResumeCounters:
+    def test_resume_matches_unbroken_plateau_and_early_stop(self, tmp_path):
+        """Round-2 fix: bad_epochs/plateau_bad persist in each checkpoint's
+        run_metrics.json, so a resumed run decays LR and early-stops on the
+        SAME epochs an unbroken run would. lr=0 makes every epoch
+        non-improving deterministically."""
+        import dataclasses as dc
+        from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        src = synthetic_geo_source(n=32)
+        scaler = fit_scaler(jnp.array(src.targets))
+        optim = OptimConfig(lr=0.0, schedule="plateau", plateau_factor=0.2,
+                            plateau_patience=1)
+
+        def trainer(save_dir):
+            tr = make_trainer(GeoposeObjective(loss_name="mse"), 2,
+                              scaler=scaler, save_dir=save_dir,
+                              optim_cfg=optim)
+            tr.train_cfg = dc.replace(tr.train_cfg, checkpoint_every=1,
+                                      keep_checkpoints=10,
+                                      early_stop_patience=4)
+            return tr
+
+        tr_a = trainer(str(tmp_path / "a"))
+        hist_a = tr_a.fit(src, src, epochs=8)
+
+        tr_b = trainer(str(tmp_path / "b"))
+        tr_b.fit(src, src, epochs=2)
+        tr_b2 = trainer(str(tmp_path / "b"))
+        tr_b2.run_dir = tr_b.run_dir
+        tr_b2.init_state((32, 32, 3), total_steps=16, steps_per_epoch=2)
+        tr_b2.state, epoch = restore_checkpoint(
+            latest_checkpoint(tr_b.run_dir), tr_b2.state)
+        hist_b2 = tr_b2.fit(src, src, epochs=8, start_epoch=epoch + 1)
+
+        stitched = tr_b.history[:2] + hist_b2
+        # identical early-stop point and lr_scale trajectory, epoch by epoch
+        assert [h["epoch"] for h in stitched] == [h["epoch"] for h in hist_a]
+        assert [h["lr_scale"] for h in stitched] == \
+            [h["lr_scale"] for h in hist_a]
+
+
+class TestFrozenSaladRecipe:
+    def test_frozen_salad_mlp_trains_end_to_end(self, tmp_path):
+        """The dinov2salad_finetuning.py:21-37 recipe (round-1's unbuildable
+        preset): frozen DINOv2+SALAD descriptor -> trainable MLP, trained
+        end-to-end on synthetic data with the small variant at 28px (2x2
+        patch grid) so it runs in seconds on CPU."""
+        import dataclasses as dc
+        from geovpr.cli.presets import build_preset, objective_for
+
+        cfg = build_preset("dinov2salad_frozen_mlp")
+        assert cfg.model.freeze_backbone and cfg.model.head == "mlp2"
+        mcfg = dc.replace(cfg.model, variant="small-14", image_size=28)
+        src = synthetic_geo_source(n=16, size=28)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = Trainer(
+            model=RegressionModel(config=mcfg),
+            objective=objective_for(cfg),
+            optim_cfg=cfg.optim,
+            train_cfg=dc.replace(cfg.train, epochs=2,
+                                 save_dir=str(tmp_path), checkpoint_every=0),
+            data_cfg=DataConfig(image_size=28, batch_size=8),
+            mesh=create_mesh(), scaler=scaler)
+        tr.init_state((28, 28, 3))
+        bb0 = jax.tree_util.tree_map(
+            np.array, jax.device_get(tr.state.params["backbone"]))
+        head0 = jax.tree_util.tree_map(
+            np.array, jax.device_get(tr.state.params["head"]))
+
+        hist = tr.fit(src, epochs=2)
+        assert len(hist) == 2
+        assert np.isfinite(hist[-1]["train_loss"])
+        # backbone bit-frozen, head trained
+        for a, b in zip(jax.tree_util.tree_leaves(bb0),
+                        jax.tree_util.tree_leaves(
+                            jax.device_get(tr.state.params["backbone"]))):
+            np.testing.assert_array_equal(np.array(a), np.array(b))
+        assert any(
+            not np.allclose(np.array(a), np.array(b))
+            for a, b in zip(jax.tree_util.tree_leaves(head0),
+                            jax.tree_util.tree_leaves(
+                                jax.device_get(tr.state.params["head"]))))
+
+
+class TestDropRemainderParity:
+    """drop_remainder_train now defaults False (reference DataLoader
+    drop_last=False): the ragged final batch is padded to static shape and
+    its padded rows masked out of the loss."""
+
+    def test_default_is_reference_parity(self):
+        assert DataConfig().drop_remainder_train is False
+
+    def test_padded_masked_batch_gives_same_update_as_bare_rows(self, tmp_path):
+        src = synthetic_geo_source(n=8)
+        scaler = fit_scaler(jnp.array(src.targets))
+
+        def fresh():
+            tr = make_trainer(GeoposeObjective(loss_name="mse"), 2,
+                              scaler=scaler, save_dir=str(tmp_path))
+            tr.init_state((32, 32, 3))
+            return tr
+
+        rows = src.get_batch(np.arange(2))
+        bare = {"image": rows["image"].astype(np.float32),
+                "target": rows["target"], "mask": np.ones(2, bool)}
+        padded = {  # same 2 rows + 2 garbage padding rows, masked off
+            "image": np.concatenate(
+                [bare["image"], np.full((2, 32, 32, 3), 255.0, np.float32)]),
+            "target": np.concatenate(
+                [bare["target"], np.full((2, 2), 9e9, np.float32)]),
+            "mask": np.array([True, True, False, False])}
+
+        s1, m1 = fresh()._train_step(fresh().state, bare)
+        s2, m2 = fresh()._train_step(fresh().state, padded)
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-7)
+
+    def test_ragged_tail_trains_and_counts_steps(self, tmp_path):
+        import dataclasses as dc
+        src = synthetic_geo_source(n=6)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = make_trainer(GeoposeObjective(loss_name="mse"), 2,
+                          scaler=scaler, save_dir=str(tmp_path))
+        tr.data_cfg = dc.replace(tr.data_cfg, batch_size=4)
+        assert tr.steps_per_epoch(6, tr.data_cfg) == 2  # ceil(6/4)
+        hist = tr.fit(src, epochs=1)
+        assert np.isfinite(hist[0]["train_loss"])
+        assert int(tr.state.step) == 2
