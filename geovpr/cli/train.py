@@ -29,9 +29,11 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=0)
     p.add_argument("--seed", type=int, default=-1)
     p.add_argument("--pretrained", default="",
-                   help="flax-msgpack BACKBONE variables from "
-                        "geovpr.models.convert_torch to initialize from "
-                        "(head stays fresh)")
+                   help="flax-msgpack BACKBONE variables to initialize from "
+                        "(head stays fresh); produce the file from a torch/"
+                        "HF/hub checkpoint with `python -m geovpr.cli."
+                        "convert` (the reference's pretrained loads, e.g. "
+                        "swin_attempt_2.py:117)")
     p.add_argument("--resume", default="", help="run dir to resume from")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steady-state "

@@ -1,0 +1,114 @@
+"""geovpr.cli.convert end-to-end: torch checkpoint file -> flax msgpack.
+
+Covers the round-1 gap "converters exist but no command produces the msgpack
+--pretrained consumes": the CLI round-trips a real checkpoint FILE (including
+the reference's `model_state_dict` wrapper, swin_attempt_2.py:239-247),
+validates coverage against the real model tree, and the converted weights
+reproduce the torch forward.
+"""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from geovpr.cli.convert import load_state_dict, main
+
+
+class TestEfficientNetFile:
+    def test_wrapped_checkpoint_roundtrip(self, tmp_path, capsys):
+        import torch
+        from tests.test_efficientnet import build_torchvision_style_b0
+
+        m = build_torchvision_style_b0()
+        src = tmp_path / "en_b0.pth"
+        # the reference's checkpoint wrapper layout
+        torch.save({"epoch": 3, "model_state_dict": m.state_dict()}, src)
+
+        dst = tmp_path / "en_b0.msgpack"
+        main([str(src), str(dst), "--family", "efficientnet",
+              "--variant", "b0"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["uncovered"] == []
+
+        from flax.serialization import msgpack_restore
+        with open(dst, "rb") as f:
+            variables = msgpack_restore(f.read())
+        assert "params" in variables and "batch_stats" in variables
+        # identical to an in-process conversion of the same weights
+        from geovpr.models.convert_torch import convert_efficientnet_b0
+        direct = convert_efficientnet_b0(m.state_dict())
+        np.testing.assert_array_equal(
+            variables["params"]["stem"]["conv"]["kernel"],
+            direct["params"]["stem"]["conv"]["kernel"])
+
+    def test_module_prefix_stripped(self, tmp_path):
+        import torch
+        from tests.test_efficientnet import build_torchvision_style_b0
+
+        m = build_torchvision_style_b0()
+        sd = {f"module.{k}": v for k, v in m.state_dict().items()}
+        src = tmp_path / "dp.pth"
+        torch.save(sd, src)
+        loaded = load_state_dict(str(src))
+        assert all(not k.startswith("module.") for k in loaded)
+
+
+class TestSwinFileForwardParity:
+    def test_tiny224_cli_weights_reproduce_hf_forward(self, tmp_path, capsys):
+        import torch
+        from transformers import SwinConfig, SwinModel
+        from geovpr.models.swin import SWIN_VARIANTS, SwinTransformer
+
+        torch.manual_seed(0)
+        hf = SwinModel(SwinConfig())  # default config IS tiny-224
+        hf.eval()
+        src = tmp_path / "swin_t.pth"
+        torch.save(hf.state_dict(), src)
+
+        dst = tmp_path / "swin_t.msgpack"
+        main([str(src), str(dst), "--family", "swin",
+              "--variant", "tiny-224"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["uncovered"] == []
+
+        from flax.serialization import msgpack_restore
+        with open(dst, "rb") as f:
+            variables = msgpack_restore(f.read())
+        model = SwinTransformer(**SWIN_VARIANTS["tiny-224"], use_pallas=False)
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(1, 224, 224, 3)).astype(np.float32)
+        ours = model.apply(variables, jnp.array(x))
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        np.testing.assert_allclose(np.asarray(ours.pooled),
+                                   ref.pooler_output.numpy(),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestCoverageGuard:
+    def test_missing_keys_refuse_without_flag(self, tmp_path):
+        import torch
+        from transformers import SwinConfig, SwinModel
+
+        torch.manual_seed(0)
+        hf = SwinModel(SwinConfig())
+        sd = hf.state_dict()
+        # a checkpoint missing the whole final layernorm
+        sd = {k: v for k, v in sd.items() if not k.startswith("layernorm.")}
+        src = tmp_path / "partial.pth"
+        torch.save(sd, src)
+        with pytest.raises((SystemExit, KeyError)):
+            main([str(src), str(tmp_path / "x.msgpack"),
+                  "--family", "swin", "--variant", "tiny-224"])
+
+    def test_wrong_family_is_loud(self, tmp_path):
+        import torch
+        from tests.test_efficientnet import build_torchvision_style_b0
+
+        src = tmp_path / "en.pth"
+        torch.save(build_torchvision_style_b0().state_dict(), src)
+        with pytest.raises((SystemExit, KeyError, ValueError)):
+            main([str(src), str(tmp_path / "y.msgpack"),
+                  "--family", "swin", "--variant", "tiny-224"])
