@@ -2,15 +2,21 @@
 `final_csv_generators/` stage (README.md:12 documents it; the directory is
 absent from the snapshot, SURVEY.md §0). Its outputs are known from the
 committed artifacts: sorted `test_predictions_sorted.csv` (geopose) and
-`test_pred.csv` (angle).
+`test_pred.csv` (angle); the BASELINE north star additionally fuses
+descriptor retrieval into the same batched pass.
 
     python -m geovpr.cli.fuse \
         --geopose-preset swin_b384_gemini2 --geopose-run runs/training_g2_x \
         --angle-preset efficientnet_sincos_gemini --angle-run runs/training_a_y \
+        --gallery-csv labels_train.csv --image-root dataset/images \
+        --salad-variables salad_hub.msgpack \
         --test-dir dataset/test --out-dir final_csvs
 
-Both heads share one decoded image stream; each model runs its own jitted
-forward at its own resolution. Either head may be omitted.
+ONE decoded image stream feeds ONE jitted forward per batch
+(`geovpr.pipeline.fused.FusedPipeline`): the stream is decoded at the
+largest head resolution and each head gets a device-side bilinear resize
+(the EfficientNet angle head keeps its Resize(256)+CenterCrop(224) eval
+semantics on device). Any component may be omitted.
 """
 
 from __future__ import annotations
@@ -22,6 +28,13 @@ import os
 import numpy as np
 
 
+def _trainer_variables(trainer) -> dict:
+    v = {"params": trainer.state.params}
+    if trainer.state.batch_stats:
+        v["batch_stats"] = trainer.state.batch_stats
+    return v
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--geopose-preset", default="")
@@ -31,51 +44,128 @@ def main(argv=None):
     p.add_argument("--checkpoint", default="best")
     p.add_argument("--test-dir", required=True)
     p.add_argument("--out-dir", default="final_csvs")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="fused batch size (default: the largest component "
+                        "preset's batch size)")
+    # retrieval component (north-star fusion: descriptors + top-k matches in
+    # the same pass)
+    p.add_argument("--gallery-csv", default="",
+                   help="manifest of gallery images to index; enables the "
+                        "retrieval component (requires --image-root)")
+    p.add_argument("--image-root", default="",
+                   help="image root for --gallery-csv rows")
+    p.add_argument("--salad-variables", default="",
+                   help="flax msgpack of DinoV2Salad variables (from "
+                        "`geovpr.cli.convert --family dinov2_salad`); random "
+                        "init if omitted")
+    p.add_argument("--salad-variant", default="base-14")
+    p.add_argument("--salad-image-size", type=int, default=224)
+    p.add_argument("--top-k", type=int, default=5)
     args = p.parse_args(argv)
 
     geo = bool(args.geopose_preset and args.geopose_run)
     ang = bool(args.angle_preset and args.angle_run)
+    retr = bool(args.gallery_csv)
     if bool(args.geopose_preset) != bool(args.geopose_run) or \
             bool(args.angle_preset) != bool(args.angle_run):
         raise SystemExit("--geopose-preset/--geopose-run (and the angle "
                          "pair) must be given together")
-    if not geo and not ang:
-        raise SystemExit("need at least one of --geopose-preset/--geopose-run "
-                         "or --angle-preset/--angle-run")
+    if retr and not args.image_root:
+        raise SystemExit("--gallery-csv requires --image-root")
+    if not geo and not ang and not retr:
+        raise SystemExit("need at least one component: geopose "
+                         "(--geopose-preset/--geopose-run), angle "
+                         "(--angle-preset/--angle-run), or retrieval "
+                         "(--gallery-csv)")
+
+    import jax
+    import jax.numpy as jnp
 
     from geovpr.cli.common import load_trained
-    from geovpr.data.manifest import list_test_images
+    from geovpr.data.manifest import list_test_images, load_manifest
     from geovpr.data.pipeline import ImageFolderSource
-    from geovpr.pipeline.export import (
-        write_angle_test_csv,
-        write_geopose_test_csv,
-    )
+    from geovpr.pipeline.fused import FusedPipeline
+    from geovpr.retrieval.index import DescriptorIndex
 
     os.makedirs(args.out_dir, exist_ok=True)
     names = list_test_images(args.test_dir)
     paths = [os.path.join(args.test_dir, n) for n in names]
-    outputs = {"num_images": len(names)}
 
-    def predict(preset, run_dir, out_dim):
-        trainer, cfg = load_trained(preset, run_dir, args.checkpoint)
-        source = ImageFolderSource(
-            paths=paths, targets=np.zeros((len(names), out_dim), np.float32),
-            image_size=cfg.data.image_size, filenames=names,
-            resize_to=cfg.data.eval_resize_to)
-        return trainer.predict(source)
+    pipe = FusedPipeline(top_k=args.top_k)
+    sizes = []
+    batch_sizes = []
 
     if geo:
-        latlon = predict(args.geopose_preset, args.geopose_run, 2)
-        path = os.path.join(args.out_dir, "test_predictions_sorted.csv")
-        write_geopose_test_csv(path, names, latlon)
-        outputs["geopose_csv"] = path
+        trainer, cfg = load_trained(args.geopose_preset, args.geopose_run,
+                                    args.checkpoint)
+        pipe.geopose_model = trainer.model
+        pipe.geopose_variables = _trainer_variables(trainer)
+        pipe.geopose_scaler = trainer.state.scaler
+        pipe.geopose_size = cfg.data.image_size
+        sizes.append(cfg.data.image_size)
+        batch_sizes.append(cfg.data.batch_size)
 
     if ang:
-        angle = predict(args.angle_preset, args.angle_run, 1)
-        path = os.path.join(args.out_dir, "test_pred.csv")
-        write_angle_test_csv(path, names, angle)
-        outputs["angle_csv"] = path
+        from geovpr.cli.presets import objective_for
+        trainer, cfg = load_trained(args.angle_preset, args.angle_run,
+                                    args.checkpoint)
+        pipe.angle_model = trainer.model
+        pipe.angle_variables = _trainer_variables(trainer)
+        pipe.angle_codec = getattr(objective_for(cfg), "codec", None)
+        pipe.angle_size = cfg.data.image_size
+        pipe.angle_resize_to = cfg.data.eval_resize_to
+        sizes.append(max(cfg.data.image_size, cfg.data.eval_resize_to))
+        batch_sizes.append(cfg.data.batch_size)
 
+    if retr:
+        from geovpr.cli.retrieve import extract_descriptors
+        from geovpr.models.salad import DinoV2Salad
+        from geovpr.parallel import create_mesh
+
+        model = DinoV2Salad(variant=args.salad_variant,
+                            image_size=args.salad_image_size,
+                            dtype=(jnp.bfloat16
+                                   if jax.default_backend() == "tpu"
+                                   else jnp.float32))
+        if args.salad_variables:
+            from flax.serialization import msgpack_restore
+            with open(args.salad_variables, "rb") as f:
+                variables = msgpack_restore(f.read())
+        else:
+            print("WARNING: no --salad-variables given; using random init "
+                  "(descriptors will not be meaningful)")
+            variables = jax.jit(model.init)(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.salad_image_size, args.salad_image_size,
+                           3)))
+        gallery = load_manifest(args.gallery_csv, args.image_root)
+        g_source = ImageFolderSource(paths=gallery.paths(),
+                                     targets=np.asarray(gallery.latlon),
+                                     image_size=args.salad_image_size,
+                                     filenames=gallery.filenames)
+        mesh = create_mesh()
+        g_desc = extract_descriptors(model, variables, g_source,
+                                     batch_size=args.batch_size or 64,
+                                     mesh=mesh)
+        pipe.descriptor_model = model
+        pipe.descriptor_variables = variables
+        pipe.descriptor_size = args.salad_image_size
+        pipe.index = DescriptorIndex(dim=g_desc.shape[-1],
+                                     mesh=mesh).build(g_desc)
+        pipe.gallery_filenames = gallery.filenames
+        sizes.append(args.salad_image_size)
+        batch_sizes.append(64)
+
+    pipe.batch_size = args.batch_size or max(batch_sizes)
+    stream_size = max(sizes)
+
+    source = ImageFolderSource(
+        paths=paths, targets=np.zeros((len(names), 1), np.float32),
+        image_size=stream_size, filenames=names)
+    written = pipe.export(source, args.out_dir)
+
+    outputs = {"num_images": len(names), "stream_size": stream_size,
+               **{f"{k}_csv": v for k, v in written.items()}}
     print(json.dumps(outputs))
 
 

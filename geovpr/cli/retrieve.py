@@ -18,7 +18,6 @@ are a meters-scale grid), and writes `retrieval_matches.csv`.
 from __future__ import annotations
 
 import argparse
-import csv
 import json
 import os
 
@@ -120,15 +119,10 @@ def main(argv=None):
         for k in (1, min(5, args.top_k), args.top_k)
     }
 
+    from geovpr.pipeline.export import write_retrieval_matches_csv
     path = os.path.join(args.out_dir, "retrieval_matches.csv")
-    with open(path, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["query_filename", "rank", "match_filename", "score"])
-        for qi, qname in enumerate(queries.filenames):
-            for rank in range(args.top_k):
-                w.writerow([qname, rank + 1,
-                            gallery.filenames[int(nbrs[qi, rank])],
-                            f"{scores[qi, rank]:.6f}"])
+    write_retrieval_matches_csv(path, queries.filenames, gallery.filenames,
+                                nbrs, scores)
 
     print(json.dumps({"gallery_size": index.size,
                       "num_queries": len(queries.filenames),

@@ -84,6 +84,25 @@ def write_angle_validation_csv(path: str, filenames: Sequence[str],
             w.writerow([name, true_angle[i], pred_angle[i], err[i]])
 
 
+def write_retrieval_matches_csv(path: str, query_names: Sequence[str],
+                                gallery_names, nbrs: np.ndarray,
+                                scores: np.ndarray):
+    """Top-k retrieval matches, one row per (query, rank). `gallery_names`
+    may be None, in which case raw gallery row indices are written."""
+    nbrs = np.asarray(nbrs)
+    scores = np.asarray(scores)
+    k = nbrs.shape[1]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["query_filename", "rank", "match_filename", "score"])
+        for qi, qname in enumerate(query_names):
+            for rank in range(k):
+                gi = int(nbrs[qi, rank])
+                match = gallery_names[gi] if gallery_names else gi
+                w.writerow([qname, rank + 1, match,
+                            f"{scores[qi, rank]:.6f}"])
+
+
 def write_angle_test_csv(path: str, filenames: Sequence[str],
                          pred_angle: np.ndarray):
     order = np.argsort(np.asarray(filenames, dtype=object))

@@ -32,6 +32,7 @@ from geovpr.data.transforms import normalize
 from geovpr.pipeline.export import (
     write_angle_test_csv,
     write_geopose_test_csv,
+    write_retrieval_matches_csv,
 )
 from geovpr.retrieval.index import DescriptorIndex
 
@@ -53,14 +54,44 @@ class FusedPipeline:
     descriptor_model: Any = None
     descriptor_variables: Any = None
     index: Optional[DescriptorIndex] = None
+    # filenames of the index rows, for retrieval_matches.csv export
+    gallery_filenames: Optional[list] = None
     top_k: int = 5
     mean: tuple = (0.485, 0.456, 0.406)
     std: tuple = (0.229, 0.224, 0.225)
     batch_size: int = 64
     mesh: Any = None
+    # per-head input resolutions: the ONE decoded stream arrives at the max
+    # of these and each head gets a device-side bilinear resize (0 = take
+    # the stream as-is). The heads the reference fused ran at different
+    # resolutions (Swin-B 384, EfficientNet 224) from separate decode
+    # passes; here the decode happens once.
+    geopose_size: int = 0
+    angle_size: int = 0
+    descriptor_size: int = 0
+    # device analog of the EfficientNet eval transform Resize(256)+
+    # CenterCrop(224) (validation_script.py:124-129): resize the (square)
+    # stream to this size, then center-crop angle_size
+    angle_resize_to: int = 0
 
     def __post_init__(self):
         self._step = jax.jit(self._forward)
+
+    @staticmethod
+    def _resize_for_head(x: jax.Array, size: int, resize_to: int = 0):
+        """Static-shape device resize of the shared stream for one head."""
+        s = x.shape[1]
+        if resize_to and size:
+            if resize_to != s:
+                x = jax.image.resize(
+                    x, (x.shape[0], resize_to, resize_to, x.shape[-1]),
+                    "bilinear")
+            off = (resize_to - size) // 2
+            return x[:, off:off + size, off:off + size, :]
+        if size and size != s:
+            return jax.image.resize(
+                x, (x.shape[0], size, size, x.shape[-1]), "bilinear")
+        return x
 
     def _forward(self, geo_v, ang_v, desc_v, images):
         # variables are traced ARGUMENTS — closing over them would bake
@@ -70,20 +101,24 @@ class FusedPipeline:
         out = {}
         if self.geopose_model is not None:
             preds = self.geopose_model.apply(
-                geo_v, x, train=False, deterministic=True)
+                geo_v, self._resize_for_head(x, self.geopose_size),
+                train=False, deterministic=True)
             if self.geopose_scaler is not None:
                 preds = self.geopose_scaler.inverse_transform(preds)
             out["latlon"] = preds
         if self.angle_model is not None:
             raw = self.angle_model.apply(
-                ang_v, x, train=False, deterministic=True)
+                ang_v, self._resize_for_head(x, self.angle_size,
+                                             self.angle_resize_to),
+                train=False, deterministic=True)
             if self.angle_codec is not None:
                 out["angle"] = self.angle_codec.decode(raw)
             else:
                 out["angle"] = jnp.mod(raw[..., 0], 360.0)
         if self.descriptor_model is not None:
             out["descriptor"] = self.descriptor_model.apply(
-                desc_v, x, train=False, deterministic=True).pooled
+                desc_v, self._resize_for_head(x, self.descriptor_size),
+                train=False, deterministic=True).pooled
         return out
 
     def run(self, source) -> dict[str, np.ndarray]:
@@ -124,4 +159,10 @@ class FusedPipeline:
             path = os.path.join(out_dir, "test_pred.csv")
             write_angle_test_csv(path, names, results["angle"])
             written["angle"] = path
+        if "retrieval_indices" in results:
+            path = os.path.join(out_dir, "retrieval_matches.csv")
+            write_retrieval_matches_csv(
+                path, names, self.gallery_filenames,
+                results["retrieval_indices"], results["retrieval_scores"])
+            written["retrieval"] = path
         return written

@@ -281,3 +281,113 @@ class TestEvaluateCliSubmission:
             rows = list(csv.reader(f))
         assert rows[0] == ["ID", "latitude", "longitude"]
         assert [r[0] for r in rows[1:]] == ["2", "7", "10"]
+
+
+class TestFusedPerHeadResize:
+    def test_heads_at_different_resolutions_share_one_stream(self):
+        """The fused contract: ONE decoded stream at the max resolution,
+        each head resized on device (geopose 384-style vs angle
+        Resize+CenterCrop vs descriptor 224-style, scaled down here)."""
+        rng = np.random.default_rng(0)
+        n = 10
+        src = ArraySource(
+            images=rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8),
+            targets=np.zeros((n, 2), np.float32),
+            filenames=[f"img_{i:04d}.jpg" for i in range(n)])
+        scaler = fit_scaler(jnp.array(
+            rng.normal([219000, 143000], [500, 700], (50, 2)).astype(np.float32)))
+        geo = TinyHeaded(out_dim=2)
+        ang = TinyHeaded(out_dim=2)
+        desc = TinyDescriptor()
+        pipe = FusedPipeline(
+            geopose_model=geo,
+            geopose_variables=geo.init(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 16, 16, 3))),
+            geopose_scaler=scaler, geopose_size=16,
+            angle_model=ang,
+            angle_variables=ang.init(jax.random.PRNGKey(1),
+                                     jnp.zeros((1, 20, 20, 3))),
+            angle_codec=SinCosCodec("cos_sin"),
+            angle_size=20, angle_resize_to=28,
+            descriptor_model=desc,
+            descriptor_variables=desc.init(jax.random.PRNGKey(2),
+                                           jnp.zeros((1, 32, 32, 3))),
+            descriptor_size=32, batch_size=4)
+        out = pipe.run(src)
+        assert out["latlon"].shape == (n, 2)
+        assert out["angle"].shape == (n,)
+        assert out["descriptor"].shape == (n, 32)
+
+    def test_resize_for_head_center_crop(self):
+        x = jnp.arange(1 * 8 * 8 * 1, dtype=jnp.float32).reshape(1, 8, 8, 1)
+        y = FusedPipeline._resize_for_head(x, size=4, resize_to=8)
+        np.testing.assert_array_equal(np.asarray(y),
+                                      np.asarray(x[:, 2:6, 2:6, :]))
+        z = FusedPipeline._resize_for_head(x, size=8)
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+
+
+class TestFusedRetrievalExport:
+    def test_export_writes_retrieval_matches(self, tmp_path):
+        rng = np.random.default_rng(1)
+        n = 8
+        src = ArraySource(
+            images=rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8),
+            targets=np.zeros((n, 2), np.float32),
+            filenames=[f"img_{i:04d}.jpg" for i in range(n)])
+        desc = TinyDescriptor()
+        db = rng.normal(size=(13, 32)).astype(np.float32)
+        db /= np.linalg.norm(db, axis=1, keepdims=True)
+        pipe = FusedPipeline(
+            descriptor_model=desc,
+            descriptor_variables=desc.init(jax.random.PRNGKey(2),
+                                           jnp.zeros((1, 32, 32, 3))),
+            index=DescriptorIndex(dim=32, dtype=jnp.float32).build(db),
+            gallery_filenames=[f"g_{i:03d}.jpg" for i in range(13)],
+            top_k=3, batch_size=4)
+        written = pipe.export(src, str(tmp_path))
+        assert "retrieval" in written
+        with open(written["retrieval"], newline="") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == n * 3
+        assert rows[0]["query_filename"] == "img_0000.jpg"
+        assert rows[0]["rank"] == "1"
+        assert rows[0]["match_filename"].startswith("g_")
+        # ranks are score-descending per query
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_filename"], []).append(float(r["score"]))
+        for scores in by_q.values():
+            assert scores == sorted(scores, reverse=True)
+
+
+class TestFuseCliRetrieval:
+    def test_retrieval_only_fuse_end_to_end(self, tmp_path, capsys):
+        import json
+        from geovpr.cli.fuse import main
+
+        root = str(tmp_path)
+        img_dir = TestRetrieveCli()._write_dataset(root, n_gallery=6,
+                                                   n_query=0)
+        # unlabeled test images = the fused query stream
+        test_dir = os.path.join(root, "test")
+        os.makedirs(test_dir)
+        from PIL import Image
+        rng = np.random.default_rng(3)
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3))
+                            .astype(np.uint8)).save(
+                os.path.join(test_dir, f"t_{i:02d}.jpg"))
+
+        main(["--test-dir", test_dir,
+              "--gallery-csv", os.path.join(root, "gallery.csv"),
+              "--image-root", img_dir,
+              "--salad-variant", "small-14", "--salad-image-size", "28",
+              "--top-k", "2", "--batch-size", "4",
+              "--out-dir", os.path.join(root, "out")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        with open(out["retrieval_csv"], newline="") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 4 * 2
+        assert set(r["query_filename"] for r in rows) == {
+            f"t_{i:02d}.jpg" for i in range(4)}
