@@ -40,7 +40,25 @@ def main(argv=None):
                         "steps into <run_dir>/profile")
     p.add_argument("--async-checkpoint", action="store_true",
                    help="overlap Orbax checkpoint writes with training")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host fleet: call jax.distributed.initialize "
+                        "(auto-detected on TPU pods) BEFORE any jax use, so "
+                        "jax.devices() spans every host and the mesh can "
+                        "carry a DCN axis (geovpr.parallel."
+                        "create_hybrid_mesh)")
+    p.add_argument("--coordinator", default="",
+                   help="with --multihost off-pod: coordinator address "
+                        "host:port (also set --num-processes/--process-id)")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
     args = p.parse_args(argv)
+
+    if args.multihost:
+        from geovpr.parallel import initialize_distributed
+        initialize_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None)
 
     import jax.numpy as jnp
 

@@ -40,6 +40,73 @@ def create_mesh(
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None,
+                           **kwargs) -> None:
+    """Opt-in multi-host bring-up: `jax.distributed.initialize`.
+
+    Call ONCE per process before any other jax use. On TPU pods every
+    argument auto-detects from the runtime environment (plain
+    ``initialize_distributed()``); elsewhere pass the coordinator address,
+    process count, and this process's id. After this, `jax.devices()` spans
+    the whole fleet and `create_hybrid_mesh` can lay a DCN axis across
+    hosts. (The reference has no distributed backend at all — SURVEY.md
+    §2.2; this is the TPU-native replacement's multi-host entry.)
+    """
+    import jax
+
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+
+
+def create_hybrid_mesh(
+    ici_shape: Sequence[int],
+    dcn_shape: Sequence[int],
+    axis_names: Sequence[str],
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Hierarchical DCN x ICI mesh for multi-host fleets.
+
+    `ici_shape` and `dcn_shape` are per-axis factors of the same rank; axis i
+    spans ici_shape[i] * dcn_shape[i] devices. Axes with dcn_shape > 1 cross
+    host boundaries (slow DCN links) — lay shardings so the heavy
+    collectives (TP all-reduce, gradient psum over the per-host data axis)
+    ride ICI-only axes, and only cheap/infrequent traffic (cross-host grad
+    psum once per step) uses the DCN axis. Example, 4 hosts x 8 chips with
+    2-way TP:
+
+        mesh = create_hybrid_mesh((4, 2), (4, 1), ("data", "model"))
+
+    Device order comes from `jax.experimental.mesh_utils.
+    create_hybrid_device_mesh` (contiguous ICI blocks per host). On fleets
+    without a multi-process/multi-slice topology — e.g. the virtual CPU mesh
+    tests run on — it falls back to a contiguous reshape with the same axis
+    semantics, so multi-host sharding layouts stay testable single-process.
+    """
+    ici_shape = tuple(ici_shape)
+    dcn_shape = tuple(dcn_shape)
+    if len(ici_shape) != len(dcn_shape) or len(ici_shape) != len(axis_names):
+        raise ValueError("ici_shape, dcn_shape, and axis_names must have "
+                         "the same rank")
+    devices = list(devices if devices is not None else jax.devices())
+    total = tuple(i * d for i, d in zip(ici_shape, dcn_shape))
+    if int(np.prod(total)) != len(devices):
+        raise ValueError(f"hybrid mesh {total} (ici {ici_shape} x dcn "
+                         f"{dcn_shape}) does not cover {len(devices)} devices")
+    try:
+        from jax.experimental import mesh_utils
+        dev_array = mesh_utils.create_hybrid_device_mesh(
+            ici_shape, dcn_shape, devices=devices)
+    except (ValueError, AssertionError):
+        # single-process / single-slice fleet (virtual CPU mesh): no real
+        # DCN topology to optimize for — a contiguous reshape preserves the
+        # axis semantics for compilation and tests
+        dev_array = np.asarray(devices).reshape(total)
+    return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     """Shard dim 0 (batch) over `axis`, replicate the rest."""
     spec = P(axis, *([None] * (ndim - 1)))

@@ -98,13 +98,26 @@ def save_checkpoint(path: str, state: TrainState, epoch: int,
 
 def restore_checkpoint(path: str, state: TrainState) -> tuple[TrainState, int]:
     """Restore into the structure of `state` (which supplies apply_fn/tx and
-    the abstract tree). Returns (state, epoch)."""
+    the abstract tree). Returns (state, epoch).
+
+    Restore targets take the TEMPLATE arrays' shardings (not the ones
+    recorded in the checkpoint file), so a checkpoint saved on one topology
+    restores correctly onto another — e.g. an 8-chip data-parallel run
+    resumed on a 4x2 data x model mesh (tests/test_sharding.py covers the
+    cross-mesh round trip)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         template = {"state": _to_save(state), "epoch": np.int64(0)}
-        restored = ckptr.restore(path, item=template)
+        restore_args = {
+            "state": ocp.checkpoint_utils.construct_restore_args(
+                template["state"]),
+            # scalar: construct_restore_args handles arrays only
+            "epoch": ocp.RestoreArgs(restore_type=int),
+        }
+        restored = ckptr.restore(path, item=template,
+                                 restore_args=restore_args)
     s = restored["state"]
     new_state = state.replace(
         step=jax.numpy.asarray(s["step"]),

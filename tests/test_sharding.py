@@ -155,3 +155,86 @@ class TestShardStateMoments:
         jax.tree_util.tree_map_with_path(check, state.opt_state)
         assert found, "no fc1 kernels found in opt_state"
         assert all("model" in s for s in found), found
+
+
+class TestHybridMesh:
+    def test_fallback_layout_and_axes(self):
+        from geovpr.parallel.mesh import create_hybrid_mesh
+        # 8 virtual CPU devices, (data, model) with the data axis spanning
+        # 2 "hosts" x 2 chips: ici (2, 2) x dcn (2, 1)
+        mesh = create_hybrid_mesh((2, 2), (2, 1), ("data", "model"))
+        assert mesh.shape == {"data": 4, "model": 2}
+        assert mesh.devices.size == 8
+
+    def test_shape_mismatch_raises(self):
+        from geovpr.parallel.mesh import create_hybrid_mesh
+        with pytest.raises(ValueError):
+            create_hybrid_mesh((2, 2), (4, 1), ("data", "model"))
+        with pytest.raises(ValueError):
+            create_hybrid_mesh((2, 2), (2,), ("data", "model"))
+
+    def test_sharded_step_on_hybrid_mesh(self):
+        """A batch-sharded computation compiles and runs on the hybrid mesh
+        with gradients implicitly psum'd across both mesh factors of the
+        data axis (the cross-host layout)."""
+        from geovpr.parallel.mesh import create_hybrid_mesh
+        mesh = create_hybrid_mesh((4, 1), (2, 1), ("data", "model"))
+        x = jax.device_put(np.arange(16, dtype=np.float32).reshape(8, 2),
+                           NamedSharding(mesh, P("data", None)))
+        w = jax.device_put(np.ones((2, 2), np.float32),
+                           NamedSharding(mesh, P()))
+
+        def loss(w, x):
+            return jnp.mean((x @ w) ** 2)
+
+        g = jax.jit(jax.grad(loss))(w, x)
+        xh, wh = np.asarray(x), np.asarray(w)
+        expected = 2 * xh.T @ (xh @ wh) / (xh @ wh).size
+        np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5)
+
+
+class TestCrossMeshRestore:
+    def test_checkpoint_roundtrip_across_topologies(self, tmp_path):
+        """Save on a 1-D 8-device data mesh, restore into a (4, 2)
+        data x model TP-sharded template: values must match and the restored
+        arrays must carry the TEMPLATE's shardings (round-1 left this to the
+        checkpoint file's recorded topology)."""
+        from geovpr.core.config import ModelConfig, OptimConfig
+        from geovpr.models.dinov2 import DinoV2
+        from geovpr.parallel.sharding_rules import shard_state
+        from geovpr.train.checkpoint import restore_checkpoint, save_checkpoint
+        from geovpr.train.optimizer import build_optimizer
+        from geovpr.train.state import create_train_state
+        import flax.linen as nn
+
+        class TinyDino(nn.Module):
+            @nn.compact
+            def __call__(self, x, train=False, deterministic=True):
+                out = DinoV2(hidden_size=64, num_layers=1, num_heads=4,
+                             patch_size=14, image_size=28,
+                             name="backbone")(x, train, deterministic)
+                return nn.Dense(2, name="head_out")(out.cls)
+
+        tx = build_optimizer(OptimConfig(lr=1e-3), None, 10)
+        sample = jnp.zeros((1, 28, 28, 3))
+
+        mesh_a = create_mesh((8,), ("data",))
+        state_a = create_train_state(TinyDino(), tx, jax.random.PRNGKey(0),
+                                     sample, out_dim=2)
+        save_checkpoint(str(tmp_path / "ckpt"), state_a, epoch=0)
+        ref = jax.tree_util.tree_map(np.asarray, state_a.params)
+
+        mesh_b = create_mesh((4, 2), ("data", "model"))
+        state_b = create_train_state(TinyDino(), tx, jax.random.PRNGKey(7),
+                                     sample, out_dim=2)
+        state_b = shard_state(mesh_b, state_b)
+        restored, epoch = restore_checkpoint(str(tmp_path / "ckpt"), state_b)
+        assert epoch == 0
+
+        fc1 = restored.params["backbone"]["block0"]["mlp"]["fc1"]["kernel"]
+        assert "model" in str(fc1.sharding.spec), (
+            f"restore dropped the template sharding: {fc1.sharding.spec}")
+        got = jax.tree_util.tree_map(np.asarray, restored.params)
+        for a, b in zip(jax.tree_util.tree_leaves(ref),
+                        jax.tree_util.tree_leaves(got)):
+            np.testing.assert_array_equal(a, b)
