@@ -20,12 +20,120 @@ import sys
 import time
 
 
+def bench_input_pipeline(args):
+    """--from-jpeg: sustained images/sec from encoded JPEG files -> decoded
+    uint8 batch -> jax.device_put, for each host decode path (pil, native,
+    cached). This is the piece `main` deliberately excludes (synthetic
+    on-device images): the host side of the north-star pipeline.
+    """
+    import os
+    import tempfile
+
+    import numpy as np
+    import jax
+
+    from geovpr.data.decoder import native_available
+    from geovpr.data.pipeline import (
+        CachedImageSource,
+        ImageFolderSource,
+        iterate_batches,
+    )
+
+    n = args.num_images or (64 if args.smoke else 512)
+    size = 224 if not args.smoke else 56
+    src_hw = args.jpeg_size or (480 if not args.smoke else 96)
+    batch = args.batch or (32 if args.smoke else 64)
+
+    # synthetic "camera" JPEGs: smooth gradients + mild noise compress to
+    # realistic sizes (~tens of KB at 480p q90)
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="geovpr_bench_jpeg_")
+    yy, xx = np.mgrid[0:src_hw, 0:int(src_hw * 4 / 3)]
+    paths = []
+    for i in range(n):
+        ch = ((yy * 0.9 + xx * 0.7 + i * 13) % 255).astype(np.uint8)
+        arr = np.stack([ch, 255 - ch, ch // 2], -1)
+        arr = np.clip(arr.astype(np.int16)
+                      + rng.integers(-8, 8, arr.shape), 0, 255).astype(np.uint8)
+        p = os.path.join(tmp, f"img_{i:05d}.jpg")
+        Image.fromarray(arr).save(p, quality=90)
+        paths.append(p)
+    jpeg_kb = sum(os.path.getsize(p) for p in paths) / n / 1024
+
+    def run_epochs(source, epochs):
+        """Sustained decode -> assembled uint8 host batch, full passes.
+        Deliberately NO per-batch device_put: H2D through the axon dev
+        tunnel serializes pathologically and would hide the decode-path
+        differences this mode exists to measure; the transfer leg is probed
+        separately below and the reported value is min(host, h2d)."""
+        rates = []
+        for _ in range(epochs):
+            t0 = time.perf_counter()
+            got = 0
+            for b in iterate_batches(source, batch):
+                got += int(b["mask"].sum())
+            rates.append(got / (time.perf_counter() - t0))
+        return rates
+
+    threads = args.threads or (os.cpu_count() or 1)
+    results = {}
+    for mode in ("pil", "native"):
+        if mode == "native" and not native_available():
+            results[mode] = None
+            continue
+        source = ImageFolderSource(
+            paths=paths, targets=np.zeros((n, 1), np.float32),
+            image_size=size, num_threads=threads, decoder=mode)
+        results[mode] = max(run_epochs(source, 3))
+
+    cached = CachedImageSource(ImageFolderSource(
+        paths=paths, targets=np.zeros((n, 1), np.float32),
+        image_size=size, num_threads=threads, decoder="native"
+        if native_available() else "pil"))
+    run_epochs(cached, 1)          # epoch 0 pays the decode
+    results["cached"] = max(run_epochs(cached, 2))
+
+    # H2D leg, measured once with fresh distinct buffers (repeating the same
+    # buffers flatters the number: the runtime caches repeat transfers)
+    bufs = [rng.integers(0, 255, (batch, size, size, 3)).astype(np.uint8)
+            for _ in range(8)]
+    t0 = time.perf_counter()
+    jax.block_until_ready([jax.device_put(b) for b in bufs])
+    h2d = 8 * batch / (time.perf_counter() - t0)
+
+    best_mode = max((k for k, v in results.items() if v),
+                    key=lambda k: results[k])
+    feed = min(results[best_mode], h2d)
+    print(json.dumps({
+        "metric": "host_input_pipeline_throughput",
+        "value": round(feed, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(feed / 5000.0, 4),
+    }))
+    detail = {k: (round(v, 1) if v else None) for k, v in results.items()}
+    print(f"# from-jpeg: {detail} h2d={h2d:.0f} (threads={threads}, "
+          f"host_cpus={os.cpu_count()}, src={src_hw}p ~{jpeg_kb:.0f}KB, "
+          f"out={size}px, n={n})", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
     parser.add_argument("--batch", type=int, default=0)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--from-jpeg", action="store_true",
+                        help="benchmark the HOST input pipeline instead: "
+                             "encoded JPEG files -> uint8 batches -> device "
+                             "(pil vs native vs cached)")
+    parser.add_argument("--num-images", type=int, default=0)
+    parser.add_argument("--jpeg-size", type=int, default=0)
+    parser.add_argument("--threads", type=int, default=0)
     args = parser.parse_args()
+
+    if args.from_jpeg:
+        bench_input_pipeline(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -40,12 +40,24 @@ def _load_library() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_LIB_PATH):
             return None
         lib = ctypes.CDLL(_LIB_PATH)
-        lib.geovpr_decode_batch.restype = ctypes.c_int
-        lib.geovpr_decode_batch.argtypes = [
+        try:
+            fn = lib.geovpr_decode_batch_ex
+        except AttributeError:
+            # a stale .so from before the resize_short extension: rebuild
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
+                               capture_output=True, timeout=120)
+                lib = ctypes.CDLL(_LIB_PATH)
+                fn = lib.geovpr_decode_batch_ex
+            except Exception:
+                return None
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),   # blob
             ctypes.POINTER(ctypes.c_int64),   # offsets
             ctypes.c_int,                     # n
             ctypes.c_int, ctypes.c_int,       # out_h, out_w
+            ctypes.c_int,                     # resize_short (0 = square)
             ctypes.POINTER(ctypes.c_uint8),   # out
             ctypes.POINTER(ctypes.c_uint8),   # ok
             ctypes.c_int,                     # threads
@@ -60,16 +72,20 @@ def native_available() -> bool:
 
 
 def decode_batch(jpeg_buffers: Sequence[bytes], out_h: int, out_w: int,
-                 threads: int = 8) -> tuple[np.ndarray, np.ndarray]:
+                 threads: int = 8,
+                 resize_short: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Decode+resize a batch of JPEG byte strings.
 
     Returns (images (N, out_h, out_w, 3) uint8, ok (N,) bool). Failed
     decodes yield zeroed slots with ok=False (the reference's dummy-sample
-    fallback semantics, test_script.py:108-114).
+    fallback semantics, test_script.py:108-114). With `resize_short` > 0,
+    each image's short side is resized to it (aspect kept) and the center
+    (out_h, out_w) cropped — the EfficientNet eval transform
+    Resize(256)+CenterCrop(224), validation_script.py:124-129.
     """
     lib = _load_library()
     if lib is None:
-        return _decode_batch_pil(jpeg_buffers, out_h, out_w)
+        return _decode_batch_pil(jpeg_buffers, out_h, out_w, resize_short)
 
     n = len(jpeg_buffers)
     offsets = np.zeros(n + 1, np.int64)
@@ -81,17 +97,17 @@ def decode_batch(jpeg_buffers: Sequence[bytes], out_h: int, out_w: int,
     out = np.empty((n, out_h, out_w, 3), np.uint8)
     ok = np.zeros(n, np.uint8)
 
-    lib.geovpr_decode_batch(
+    lib.geovpr_decode_batch_ex(
         blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n, out_h, out_w,
+        n, out_h, out_w, resize_short,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         threads)
     return out, ok.astype(bool)
 
 
-def _decode_batch_pil(jpeg_buffers, out_h, out_w):
+def _decode_batch_pil(jpeg_buffers, out_h, out_w, resize_short=0):
     import io
 
     from PIL import Image
@@ -102,8 +118,18 @@ def _decode_batch_pil(jpeg_buffers, out_h, out_w):
     for i, buf in enumerate(jpeg_buffers):
         try:
             with Image.open(io.BytesIO(buf)) as img:
-                img = img.convert("RGB").resize((out_w, out_h),
-                                                Image.BILINEAR)
+                img = img.convert("RGB")
+                if resize_short:
+                    w, h = img.size
+                    short = min(w, h)
+                    nw = round(w * resize_short / short)
+                    nh = round(h * resize_short / short)
+                    img = img.resize((nw, nh), Image.BILINEAR)
+                    left = (nw - out_w) // 2
+                    top = (nh - out_h) // 2
+                    img = img.crop((left, top, left + out_w, top + out_h))
+                else:
+                    img = img.resize((out_w, out_h), Image.BILINEAR)
                 out[i] = np.asarray(img, np.uint8)
                 ok[i] = True
         except Exception:
@@ -112,7 +138,8 @@ def _decode_batch_pil(jpeg_buffers, out_h, out_w):
 
 
 def decode_files(paths: Sequence[str], out_h: int, out_w: int,
-                 threads: int = 8) -> tuple[np.ndarray, np.ndarray]:
+                 threads: int = 8,
+                 resize_short: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Read + decode a batch of image files."""
     bufs = []
     for p in paths:
@@ -121,4 +148,4 @@ def decode_files(paths: Sequence[str], out_h: int, out_w: int,
                 bufs.append(f.read())
         except OSError:
             bufs.append(b"")
-    return decode_batch(bufs, out_h, out_w, threads)
+    return decode_batch(bufs, out_h, out_w, threads, resize_short)

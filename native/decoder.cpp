@@ -16,6 +16,7 @@
 #include <jpeglib.h>
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <csetjmp>
 #include <cstdint>
@@ -40,8 +41,13 @@ void error_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG into an RGB buffer; returns true on success.
+//
+// min_h/min_w > 0 enable libjpeg-turbo DCT scaling: the IDCT itself emits
+// the smallest m/8 scale whose output still covers (min_h, min_w) — a large
+// downscale (e.g. 4000px camera frame -> 224) then costs a fraction of the
+// full-resolution decode and the DCT low-pass doubles as antialiasing.
 bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
-                 int* width, int* height) {
+                 int* width, int* height, int min_h = 0, int min_w = 0) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -57,6 +63,19 @@ bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
     return false;
   }
   cinfo.out_color_space = JCS_RGB;
+  if (min_h > 0 && min_w > 0) {
+    const long fh = long(cinfo.image_height), fw = long(cinfo.image_width);
+    int num = 8;
+    // smallest num/8 with ceil(dim*num/8) >= min_dim for both dims
+    for (int m = 1; m <= 8; ++m) {
+      if ((fh * m + 7) / 8 >= min_h && (fw * m + 7) / 8 >= min_w) {
+        num = m;
+        break;
+      }
+    }
+    cinfo.scale_num = num;
+    cinfo.scale_denom = 8;
+  }
   jpeg_start_decompress(&cinfo);
   *width = cinfo.output_width;
   *height = cinfo.output_height;
@@ -104,34 +123,41 @@ void box_halve(std::vector<uint8_t>* buf, int* h, int* w) {
 }
 
 // Bilinear resize RGB8 (src_h, src_w) -> (dst_h, dst_w), torch/PIL-style
-// half-pixel centers (align_corners=false). Large downscales are first
-// box-halved per octave — a plain 2x2-tap bilinear at 10x reduction would
-// sample 1 of ~13 source rows (heavy aliasing vs PIL's area-averaging).
+// half-pixel centers (align_corners=false). Large downscales are handled
+// upstream (DCT scaling + per-octave box-halving) so the remaining ratio is
+// < 2x, where a 2-tap bilinear is adequate. The x-axis taps/weights are
+// precomputed once (vs per-pixel recomputation, which dominated the decode
+// at 480p: the row loop then streams with contiguous loads).
 void resize_bilinear(const uint8_t* src, int src_h, int src_w, uint8_t* dst,
                      int dst_h, int dst_w) {
   const float sy = float(src_h) / dst_h;
   const float sx = float(src_w) / dst_w;
+  std::vector<int> x0s(dst_w), x1s(dst_w);
+  std::vector<float> wxs(dst_w);
+  for (int x = 0; x < dst_w; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    if (fx < 0) fx = 0;
+    const int x0 = int(fx);
+    x0s[x] = x0 * 3;
+    x1s[x] = (x0 + 1 < src_w ? x0 + 1 : src_w - 1) * 3;
+    wxs[x] = fx - x0;
+  }
   for (int y = 0; y < dst_h; ++y) {
     float fy = (y + 0.5f) * sy - 0.5f;
     if (fy < 0) fy = 0;
-    int y0 = int(fy);
-    int y1 = y0 + 1 < src_h ? y0 + 1 : src_h - 1;
-    float wy = fy - y0;
+    const int y0 = int(fy);
+    const int y1 = y0 + 1 < src_h ? y0 + 1 : src_h - 1;
+    const float wy = fy - y0;
+    const uint8_t* r0 = src + size_t(y0) * src_w * 3;
+    const uint8_t* r1 = src + size_t(y1) * src_w * 3;
+    uint8_t* drow = dst + size_t(y) * dst_w * 3;
     for (int x = 0; x < dst_w; ++x) {
-      float fx = (x + 0.5f) * sx - 0.5f;
-      if (fx < 0) fx = 0;
-      int x0 = int(fx);
-      int x1 = x0 + 1 < src_w ? x0 + 1 : src_w - 1;
-      float wx = fx - x0;
+      const int a = x0s[x], b = x1s[x];
+      const float wx = wxs[x];
       for (int c = 0; c < 3; ++c) {
-        const float p00 = src[(size_t(y0) * src_w + x0) * 3 + c];
-        const float p01 = src[(size_t(y0) * src_w + x1) * 3 + c];
-        const float p10 = src[(size_t(y1) * src_w + x0) * 3 + c];
-        const float p11 = src[(size_t(y1) * src_w + x1) * 3 + c];
-        const float top = p00 + (p01 - p00) * wx;
-        const float bot = p10 + (p11 - p10) * wx;
-        dst[(size_t(y) * dst_w + x) * 3 + c] =
-            uint8_t(top + (bot - top) * wy + 0.5f);
+        const float top = r0[a + c] + (r0[b + c] - r0[a + c]) * wx;
+        const float bot = r1[a + c] + (r1[b + c] - r1[a + c]) * wx;
+        drow[x * 3 + c] = uint8_t(top + (bot - top) * wy + 0.5f);
       }
     }
   }
@@ -180,6 +206,46 @@ class ThreadPool {
   bool stop_ = false;
 };
 
+// Decode one JPEG and write an (out_h, out_w) RGB crop/resize into dst.
+// resize_short == 0: plain square resize to (out_h, out_w).
+// resize_short > 0: resize the SHORT side to resize_short keeping aspect,
+// then center-crop (out_h, out_w) — the reference's EfficientNet eval
+// transform Resize(256)+CenterCrop(224)
+// (angle_prediction/efficient_net/validation_script.py:124-129).
+bool process_one(const uint8_t* data, size_t size, int out_h, int out_w,
+                 int resize_short, uint8_t* dst) {
+  std::vector<uint8_t> rgb;
+  int w = 0, h = 0;
+  const int min_h = resize_short > 0 ? resize_short : out_h;
+  const int min_w = resize_short > 0 ? resize_short : out_w;
+  if (!decode_jpeg(data, size, &rgb, &w, &h, min_h, min_w)) return false;
+  if (resize_short <= 0) {
+    // DCT scaling already lands within [1, 2) x of the target for any
+    // source <= 8x; the octave loop only fires for truly enormous inputs
+    while (h >= 2 * out_h && w >= 2 * out_w) box_halve(&rgb, &h, &w);
+    resize_bilinear(rgb.data(), h, w, dst, out_h, out_w);
+    return true;
+  }
+  while (h >= 2 * resize_short && w >= 2 * resize_short)
+    box_halve(&rgb, &h, &w);
+  const int short_side = h < w ? h : w;
+  // round-half-away; the PIL path uses Python round() (half-to-even) — the
+  // two differ only on exact .5 products, a sub-pixel boundary case
+  const int nh = int(std::lround(double(h) * resize_short / short_side));
+  const int nw = int(std::lround(double(w) * resize_short / short_side));
+  if (nh < out_h || nw < out_w) return false;  // crop larger than resized
+  std::vector<uint8_t> resized(size_t(nh) * nw * 3);
+  resize_bilinear(rgb.data(), h, w, resized.data(), nh, nw);
+  const int top = (nh - out_h) / 2;
+  const int left = (nw - out_w) / 2;
+  for (int y = 0; y < out_h; ++y) {
+    std::memcpy(dst + size_t(y) * out_w * 3,
+                resized.data() + (size_t(top + y) * nw + left) * 3,
+                size_t(out_w) * 3);
+  }
+  return true;
+}
+
 std::shared_ptr<ThreadPool> pool;
 int pool_size = 0;
 std::mutex pool_mu;
@@ -207,9 +273,9 @@ extern "C" {
 // ok[i] is set to 1 on success, 0 on decode failure (output slot zeroed —
 // mirrors the reference's dummy-sample fallback, test_script.py:108-114).
 // Returns the number of successfully decoded images.
-int geovpr_decode_batch(const uint8_t* blob, const int64_t* offsets, int n,
-                        int out_h, int out_w, uint8_t* out, uint8_t* ok,
-                        int threads) {
+int geovpr_decode_batch_ex(const uint8_t* blob, const int64_t* offsets, int n,
+                           int out_h, int out_w, int resize_short,
+                           uint8_t* out, uint8_t* ok, int threads) {
   // out_h/out_w <= 0 would make the box-halve loop below spin forever
   if (n <= 0 || out_h <= 0 || out_w <= 0) {
     for (int i = 0; i < n; ++i) ok[i] = 0;
@@ -232,13 +298,7 @@ int geovpr_decode_batch(const uint8_t* blob, const int64_t* offsets, int n,
       uint8_t* dst = out + size_t(i) * out_stride;
       bool success = false;
       try {
-        std::vector<uint8_t> rgb;
-        int w = 0, h = 0;
-        if (decode_jpeg(data, size, &rgb, &w, &h)) {
-          while (h >= 2 * out_h && w >= 2 * out_w) box_halve(&rgb, &h, &w);
-          resize_bilinear(rgb.data(), h, w, dst, out_h, out_w);
-          success = true;
-        }
+        success = process_one(data, size, out_h, out_w, resize_short, dst);
       } catch (...) {
         // an escaping exception would std::terminate the process from a
         // pool thread; the contract is ok[i]=0 + zeroed slot
@@ -261,6 +321,14 @@ int geovpr_decode_batch(const uint8_t* blob, const int64_t* offsets, int n,
   std::unique_lock<std::mutex> lock(done_mu);
   done_cv.wait(lock, [&] { return done == n; });
   return good.load();
+}
+
+// Back-compatible entry: plain square resize (resize_short = 0).
+int geovpr_decode_batch(const uint8_t* blob, const int64_t* offsets, int n,
+                        int out_h, int out_w, uint8_t* out, uint8_t* ok,
+                        int threads) {
+  return geovpr_decode_batch_ex(blob, offsets, n, out_h, out_w, 0, out, ok,
+                                threads);
 }
 
 // Probe: returns the libjpeg version the library was built against.
