@@ -47,8 +47,11 @@ def bench_input_pipeline(args):
     # synthetic "camera" JPEGs: smooth gradients + mild noise compress to
     # realistic sizes (~tens of KB at 480p q90)
     from PIL import Image
+    import shutil
     rng = np.random.default_rng(0)
     tmp = tempfile.mkdtemp(prefix="geovpr_bench_jpeg_")
+    import atexit
+    atexit.register(shutil.rmtree, tmp, True)
     yy, xx = np.mgrid[0:src_hw, 0:int(src_hw * 4 / 3)]
     paths = []
     for i in range(n):

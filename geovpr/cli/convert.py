@@ -95,6 +95,17 @@ def convert(family: str, variant: str, state_dict: dict,
     raise ValueError(f"unknown family {family!r}; known: {FAMILIES}")
 
 
+def _default_image_size(family: str, variant: str) -> int:
+    """The resolution a (family, variant) is built for when the caller
+    doesn't pass one. Swin variants FIX their resolution (window
+    partitioning) — defaulting those to 224 made `convert --family swin
+    --variant base-384` unrunnable without an extra flag."""
+    if family == "swin":
+        from geovpr.models.swin import SWIN_VARIANTS
+        return SWIN_VARIANTS[variant]["image_size"]
+    return 224
+
+
 def validate(family: str, variant: str, variables: dict,
              image_size: int = 0) -> dict:
     """Check every converted array exists in the real model tree with the
@@ -110,9 +121,11 @@ def validate(family: str, variant: str, variables: dict,
     from geovpr.models import build_backbone
     from geovpr.train.state import _merge_pretrained
 
-    size = image_size or 224
-    cfg = ModelConfig(family=family, variant=variant, image_size=size,
-                      use_pallas=False)
+    size = image_size or _default_image_size(family, variant)
+    # layout aliases share one model family in the registry
+    registry_family = {"dinov2_facebook": "dinov2"}.get(family, family)
+    cfg = ModelConfig(family=registry_family, variant=variant,
+                      image_size=size, use_pallas=False)
     backbone = build_backbone(cfg, dtype=jnp.float32)
     shapes = jax.eval_shape(backbone.init, jax.random.PRNGKey(0),
                             jnp.zeros((1, size, size, 3), jnp.float32))

@@ -12,11 +12,13 @@ descriptor retrieval into the same batched pass.
         --salad-variables salad_hub.msgpack \
         --test-dir dataset/test --out-dir final_csvs
 
-ONE decoded image stream feeds ONE jitted forward per batch
+ONE decode feeds ONE jitted forward per batch
 (`geovpr.pipeline.fused.FusedPipeline`): the stream is decoded at the
-largest head resolution and each head gets a device-side bilinear resize
-(the EfficientNet angle head keeps its Resize(256)+CenterCrop(224) eval
-semantics on device). Any component may be omitted.
+largest head resolution and each head gets a device-side bilinear resize.
+When the angle head uses the Resize(256)+CenterCrop(224) eval transform,
+the decode additionally emits that exact aspect-preserving view
+(`DualGeometrySource`) so fused predictions match cli/evaluate's
+bit-for-bit geometry on non-square photos. Any component may be omitted.
 """
 
 from __future__ import annotations
@@ -83,7 +85,8 @@ def main(argv=None):
 
     from geovpr.cli.common import load_trained
     from geovpr.data.manifest import list_test_images, load_manifest
-    from geovpr.data.pipeline import ImageFolderSource
+    from geovpr.data.pipeline import DualGeometrySource, ImageFolderSource
+    from geovpr.parallel import create_mesh
     from geovpr.pipeline.fused import FusedPipeline
     from geovpr.retrieval.index import DescriptorIndex
 
@@ -91,7 +94,8 @@ def main(argv=None):
     names = list_test_images(args.test_dir)
     paths = [os.path.join(args.test_dir, n) for n in names]
 
-    pipe = FusedPipeline(top_k=args.top_k)
+    mesh = create_mesh()
+    pipe = FusedPipeline(top_k=args.top_k, mesh=mesh)
     sizes = []
     batch_sizes = []
 
@@ -120,7 +124,6 @@ def main(argv=None):
     if retr:
         from geovpr.cli.retrieve import extract_descriptors
         from geovpr.models.salad import DinoV2Salad
-        from geovpr.parallel import create_mesh
 
         model = DinoV2Salad(variant=args.salad_variant,
                             image_size=args.salad_image_size,
@@ -143,7 +146,6 @@ def main(argv=None):
                                      targets=np.asarray(gallery.latlon),
                                      image_size=args.salad_image_size,
                                      filenames=gallery.filenames)
-        mesh = create_mesh()
         g_desc = extract_descriptors(model, variables, g_source,
                                      batch_size=args.batch_size or 64,
                                      mesh=mesh)
@@ -159,9 +161,22 @@ def main(argv=None):
     pipe.batch_size = args.batch_size or max(batch_sizes)
     stream_size = max(sizes)
 
-    source = ImageFolderSource(
-        paths=paths, targets=np.zeros((len(names), 1), np.float32),
-        image_size=stream_size, filenames=names)
+    if ang and pipe.angle_resize_to:
+        # the angle head's eval transform is short-side-resize+center-crop
+        # over the ORIGINAL aspect (validation_script.py:124-129) — decode
+        # once but emit that exact view alongside the square stream; a
+        # square-then-device-crop approximation would change the head's
+        # field of view on every non-square photo
+        source = DualGeometrySource(
+            paths=paths, targets=np.zeros((len(names), 1), np.float32),
+            stream_size=stream_size, alt_size=pipe.angle_size,
+            alt_resize_to=pipe.angle_resize_to, filenames=names)
+        pipe.angle_size = 0
+        pipe.angle_resize_to = 0
+    else:
+        source = ImageFolderSource(
+            paths=paths, targets=np.zeros((len(names), 1), np.float32),
+            image_size=stream_size, filenames=names)
     written = pipe.export(source, args.out_dir)
 
     outputs = {"num_images": len(names), "stream_size": stream_size,

@@ -23,13 +23,16 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libgeovpr_decoder.so")
 _lib = None
 _lib_lock = threading.Lock()
 _build_attempted = False
+_load_failed = False
 
 
 def _load_library() -> Optional[ctypes.CDLL]:
-    global _lib, _build_attempted
+    global _lib, _build_attempted, _load_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _load_failed:
+            return None
         if not os.path.exists(_LIB_PATH) and not _build_attempted:
             _build_attempted = True
             try:
@@ -38,18 +41,28 @@ def _load_library() -> Optional[ctypes.CDLL]:
             except Exception:
                 return None
         if not os.path.exists(_LIB_PATH):
+            if _build_attempted:
+                _load_failed = True
             return None
         lib = ctypes.CDLL(_LIB_PATH)
         try:
             fn = lib.geovpr_decode_batch_ex
         except AttributeError:
-            # a stale .so from before the resize_short extension: rebuild
+            # a stale .so from before the resize_short extension: rebuild —
+            # at most ONCE (same guard as the missing-.so branch; without it
+            # a toolchain-less host would re-spawn a failing `make` on every
+            # batch instead of falling back to PIL once)
+            if _build_attempted:
+                _load_failed = True
+                return None
+            _build_attempted = True
             try:
                 subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
                                capture_output=True, timeout=120)
                 lib = ctypes.CDLL(_LIB_PATH)
                 fn = lib.geovpr_decode_batch_ex
             except Exception:
+                _load_failed = True
                 return None
         fn.restype = ctypes.c_int
         fn.argtypes = [

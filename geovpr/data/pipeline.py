@@ -115,6 +115,69 @@ class ImageFolderSource:
 
 
 @dataclasses.dataclass
+class DualGeometrySource:
+    """One JPEG decode, two geometries per image.
+
+    Emits batches with BOTH a square `image` stream (stream_size, the HF
+    processors' aspect-squashing resize every geopose head trained on) and
+    an `image_alt` short-side-resize(alt_resize_to)+center-crop(alt_size)
+    view — the EXACT EfficientNet eval transform
+    (validation_script.py:124-129). Built for fused pipelines whose heads
+    disagree on input geometry (cli/fuse.py): a square-then-device-crop
+    approximation would silently change the angle head's field of view on
+    every non-square photo, while decoding twice would double host cost.
+    """
+
+    paths: Sequence[str]
+    targets: np.ndarray
+    stream_size: int
+    alt_size: int
+    alt_resize_to: int
+    num_threads: int = 8
+    filenames: Optional[list[str]] = None
+
+    def __post_init__(self):
+        self._pool = concurrent.futures.ThreadPoolExecutor(self.num_threads)
+        self.image_size = self.stream_size
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _decode(self, path: str):
+        from PIL import Image
+        try:
+            with Image.open(path) as img:
+                img = img.convert("RGB")
+                square = np.asarray(
+                    img.resize((self.stream_size, self.stream_size),
+                               Image.BILINEAR), np.uint8)
+                w, h = img.size
+                short = min(w, h)
+                nw = round(w * self.alt_resize_to / short)
+                nh = round(h * self.alt_resize_to / short)
+                resized = img.resize((nw, nh), Image.BILINEAR)
+                left = (nw - self.alt_size) // 2
+                top = (nh - self.alt_size) // 2
+                alt = np.asarray(
+                    resized.crop((left, top, left + self.alt_size,
+                                  top + self.alt_size)), np.uint8)
+                return square, alt
+        except Exception:
+            # decode-failure fallback: black frames, matching the reference
+            # (test_script.py:108-114)
+            return (np.zeros((self.stream_size, self.stream_size, 3),
+                             np.uint8),
+                    np.zeros((self.alt_size, self.alt_size, 3), np.uint8))
+
+    def get_batch(self, idx: np.ndarray) -> dict:
+        pairs = list(self._pool.map(self._decode,
+                                    [self.paths[i] for i in idx]))
+        return {"image": np.stack([p[0] for p in pairs]),
+                "image_alt": np.stack([p[1] for p in pairs]),
+                "target": self.targets[idx]}
+
+
+@dataclasses.dataclass
 class CachedImageSource:
     """Caches decoded+resized uint8 images from an inner source.
 

@@ -145,7 +145,11 @@ def gauss_noise(rng: jax.Array, images: jax.Array,
     std01 = jnp.sqrt(var) / 255.0
     noise = jax.random.normal(k_noise, images.shape) \
         * std01[:, None, None, None]
-    return jnp.where(apply[:, None, None, None], images + noise, images)
+    # albumentations clips back to the valid range immediately (the step's
+    # final clip would also catch this, but downstream transforms in other
+    # pipelines must see in-range pixels)
+    noisy = jnp.clip(images + noise, 0.0, 1.0)
+    return jnp.where(apply[:, None, None, None], noisy, images)
 
 
 def random_affine(rng: jax.Array, images: jax.Array,

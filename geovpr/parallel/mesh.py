@@ -95,15 +95,19 @@ def create_hybrid_mesh(
     if int(np.prod(total)) != len(devices):
         raise ValueError(f"hybrid mesh {total} (ici {ici_shape} x dcn "
                          f"{dcn_shape}) does not cover {len(devices)} devices")
-    try:
+    if jax.process_count() == 1 and len(
+            {getattr(d, "slice_index", 0) or 0 for d in devices}) <= 1:
+        # single-process, single-slice fleet (the virtual CPU mesh tests run
+        # on): no real DCN topology exists — a contiguous reshape preserves
+        # the axis semantics for compilation and tests. Real multi-host
+        # fleets fall through so a layout/topology mismatch SURFACES as the
+        # create_hybrid_device_mesh error instead of silently landing TP
+        # collectives on DCN links.
+        dev_array = np.asarray(devices).reshape(total)
+    else:
         from jax.experimental import mesh_utils
         dev_array = mesh_utils.create_hybrid_device_mesh(
             ici_shape, dcn_shape, devices=devices)
-    except (ValueError, AssertionError):
-        # single-process / single-slice fleet (virtual CPU mesh): no real
-        # DCN topology to optimize for — a contiguous reshape preserves the
-        # axis semantics for compilation and tests
-        dev_array = np.asarray(devices).reshape(total)
     return Mesh(dev_array, axis_names=tuple(axis_names))
 
 

@@ -93,7 +93,7 @@ class FusedPipeline:
                 x, (x.shape[0], size, size, x.shape[-1]), "bilinear")
         return x
 
-    def _forward(self, geo_v, ang_v, desc_v, images):
+    def _forward(self, geo_v, ang_v, desc_v, images, images_alt=None):
         # variables are traced ARGUMENTS — closing over them would bake
         # every weight into the executable as XLA constants (compile time
         # and HBM roughly double, and swapping variables becomes a no-op)
@@ -107,9 +107,15 @@ class FusedPipeline:
                 preds = self.geopose_scaler.inverse_transform(preds)
             out["latlon"] = preds
         if self.angle_model is not None:
+            if images_alt is not None:
+                # a second host-side geometry (DualGeometrySource): the
+                # exact short-side+crop eval view — use it verbatim
+                ang_x = normalize(images_alt, self.mean, self.std)
+            else:
+                ang_x = self._resize_for_head(x, self.angle_size,
+                                              self.angle_resize_to)
             raw = self.angle_model.apply(
-                ang_v, self._resize_for_head(x, self.angle_size,
-                                             self.angle_resize_to),
+                ang_v, ang_x,
                 train=False, deterministic=True)
             if self.angle_codec is not None:
                 out["angle"] = self.angle_codec.decode(raw)
@@ -130,7 +136,8 @@ class FusedPipeline:
                 iterate_batches(source, self.batch_size), self.mesh):
             idx = batch.pop("_indices")
             out = self._step(self.geopose_variables, self.angle_variables,
-                             self.descriptor_variables, batch["image"])
+                             self.descriptor_variables, batch["image"],
+                             batch.get("image_alt"))
             for key, val in out.items():
                 val = np.asarray(val)[:len(idx)]
                 if key not in results:

@@ -112,3 +112,59 @@ class TestCoverageGuard:
         with pytest.raises((SystemExit, KeyError, ValueError)):
             main([str(src), str(tmp_path / "y.msgpack"),
                   "--family", "swin", "--variant", "tiny-224"])
+
+
+class TestFlagshipAndAliasFamilies:
+    def test_swin_base384_default_image_size(self, tmp_path, capsys):
+        """The README flagship command, no --image-size: round 2's validate()
+        defaulted to 224 and crashed on the 384-fixed variant."""
+        import torch
+        from transformers import SwinConfig, SwinModel
+
+        torch.manual_seed(0)
+        hf = SwinModel(SwinConfig(image_size=384, embed_dim=128,
+                                  depths=[2, 2, 18, 2],
+                                  num_heads=[4, 8, 16, 32], window_size=12))
+        src = tmp_path / "swin_b384.pth"
+        torch.save(hf.state_dict(), src)
+        main([str(src), str(tmp_path / "swin_b384.msgpack"),
+              "--family", "swin", "--variant", "base-384"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["uncovered"] == []
+
+    def test_dinov2_facebook_family_validates(self, tmp_path, capsys):
+        """--family dinov2_facebook must map to the dinov2 registry family
+        in validate() (round 2 crashed with 'unknown model family')."""
+        import torch
+
+        torch.manual_seed(0)
+        d, layers, grid = 384, 12, 16
+        sd = {"cls_token": torch.randn(1, 1, d),
+              "pos_embed": torch.randn(1, 1 + grid * grid, d),
+              "patch_embed.proj.weight": torch.randn(d, 3, 14, 14),
+              "patch_embed.proj.bias": torch.randn(d),
+              "norm.weight": torch.randn(d), "norm.bias": torch.randn(d)}
+        for i in range(layers):
+            t = f"blocks.{i}"
+            sd.update({
+                f"{t}.norm1.weight": torch.randn(d),
+                f"{t}.norm1.bias": torch.randn(d),
+                f"{t}.attn.qkv.weight": torch.randn(3 * d, d),
+                f"{t}.attn.qkv.bias": torch.randn(3 * d),
+                f"{t}.attn.proj.weight": torch.randn(d, d),
+                f"{t}.attn.proj.bias": torch.randn(d),
+                f"{t}.ls1.gamma": torch.randn(d),
+                f"{t}.norm2.weight": torch.randn(d),
+                f"{t}.norm2.bias": torch.randn(d),
+                f"{t}.mlp.fc1.weight": torch.randn(4 * d, d),
+                f"{t}.mlp.fc1.bias": torch.randn(4 * d),
+                f"{t}.mlp.fc2.weight": torch.randn(d, 4 * d),
+                f"{t}.mlp.fc2.bias": torch.randn(d),
+                f"{t}.ls2.gamma": torch.randn(d),
+            })
+        src = tmp_path / "dinov2_fb.pth"
+        torch.save(sd, src)
+        main([str(src), str(tmp_path / "fb.msgpack"),
+              "--family", "dinov2_facebook", "--variant", "small-14"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["uncovered"] == []

@@ -156,3 +156,49 @@ class TestDecodeFallback:
         out = src.get_batch(np.array([0]))
         assert out["image"].shape == (1, 8, 8, 3)
         assert (out["image"] == 0).all()
+
+
+class TestDualGeometrySource:
+    def test_alt_view_matches_reference_eval_transform(self, tmp_path):
+        """image_alt must be BIT-EQUAL to the single-stream eval path
+        (ImageFolderSource resize_to short-side+center-crop) on non-square
+        photos — the geometry cli/evaluate scores with."""
+        from PIL import Image
+        from geovpr.data.pipeline import DualGeometrySource, ImageFolderSource
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for i, (h, w) in enumerate([(60, 100), (100, 60), (64, 64)]):
+            p = tmp_path / f"img_{i}.jpg"
+            yy, xx = np.mgrid[0:h, 0:w]
+            ch = ((yy * 2.0 + xx * 1.5 + i * 30) % 255).astype(np.uint8)
+            Image.fromarray(np.stack([ch, 255 - ch, ch // 2], -1)).save(
+                p, quality=95)
+            paths.append(str(p))
+        targets = np.zeros((3, 1), np.float32)
+
+        dual = DualGeometrySource(paths=paths, targets=targets,
+                                  stream_size=48, alt_size=28,
+                                  alt_resize_to=32)
+        ref = ImageFolderSource(paths=paths, targets=targets, image_size=28,
+                                resize_to=32)
+        square_ref = ImageFolderSource(paths=paths, targets=targets,
+                                       image_size=48)
+        b = dual.get_batch(np.arange(3))
+        assert b["image"].shape == (3, 48, 48, 3)
+        assert b["image_alt"].shape == (3, 28, 28, 3)
+        np.testing.assert_array_equal(
+            b["image_alt"], ref.get_batch(np.arange(3))["image"])
+        np.testing.assert_array_equal(
+            b["image"], square_ref.get_batch(np.arange(3))["image"])
+
+    def test_decode_failure_yields_black_frames(self, tmp_path):
+        from geovpr.data.pipeline import DualGeometrySource
+        p = tmp_path / "bad.jpg"
+        p.write_bytes(b"not a jpeg")
+        src = DualGeometrySource(paths=[str(p)],
+                                 targets=np.zeros((1, 1), np.float32),
+                                 stream_size=32, alt_size=28,
+                                 alt_resize_to=32)
+        b = src.get_batch(np.array([0]))
+        assert (b["image"] == 0).all() and (b["image_alt"] == 0).all()
