@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from geovpr.models.backbone import BackboneOutput
-from geovpr.models.layers import DropPath, gelu_exact
+from geovpr.models.layers import DropPath, gelu_fast
 
 CONVNEXT_VARIANTS = {
     "tiny-224": dict(depths=(3, 3, 9, 3), dims=(96, 192, 384, 768)),
@@ -47,7 +47,7 @@ class ConvNeXtBlock(nn.Module):
                     dtype=self.dtype)(x)
         h = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=self.dtype)(h)
         h = nn.Dense(4 * self.dim, name="pwconv1", dtype=self.dtype)(h)
-        h = gelu_exact(h)
+        h = gelu_fast(h)
         h = nn.Dense(self.dim, name="pwconv2", dtype=self.dtype)(h)
         gamma = self.param("gamma", nn.initializers.constant(self.layerscale_init),
                            (self.dim,))

@@ -224,5 +224,7 @@ class DinoV2(nn.Module):
 
         norm_scale, norm_bias = PScaleBias(self.hidden_size, name="norm")()
         x = _layer_norm(x, norm_scale, norm_bias)
-        x = x.astype(jnp.float32)
+        # stay in compute dtype: _layer_norm already rounded to x.dtype, so
+        # an f32 cast here adds bytes (50 MB/batch at B=256) but no
+        # precision; consumers (heads, SALAD) upcast where they accumulate
         return BackboneOutput(pooled=x[:, 0], tokens=x[:, 1:], cls=x[:, 0])

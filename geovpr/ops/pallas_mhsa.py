@@ -20,16 +20,20 @@ across programs. Rows are padded to the 16-sublane quantum only (N=257 ->
 padding cost 1.4x projection / 2.2x attention FLOPs. Measured at B=256
 N=257 D=768 H=12: XLA 9.4 ms/layer; this kernel 6.2 (bb=1, 384-pad) ->
 5.2 ms/layer (bb=2, 272-pad). bb=4 exceeds the 16 MB VMEM scope.
+Round 2 (the `_mhsa_kernel_v3` fast path below): 3.03 ms/layer.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_LOG2E = math.log2(math.e)
 
 
 def _mhsa_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
@@ -79,6 +83,99 @@ def _mhsa_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
     out = out + bo_ref[:].astype(jnp.float32)
     # fused LayerScale (DINOv2 ls1) + residual add
+    out = out * gamma_ref[:].astype(jnp.float32) + x_raw.astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _mhsa_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
+                    wo_ref, bo_ref, gamma_ref, o_ref, ctx_ref,
+                    *, num_heads: int, n_valid: int, bb: int, ln_eps: float):
+    """Inference fast path for n_valid = 128k + 1 (ViT-B/14 at 224: 256
+    patches + CLS = 257). Three measured wins over the masked kernel
+    (3.96 -> 3.40 ms/layer at B=256 N=257 D=768 H=12 on v5e):
+
+    - **key-split**: keys/values 0..n-2 go through exactly lane-aligned
+      (256-wide) MXU matmuls; the single remaining key is handled with VPU
+      ops (one multiply + lane-reduce per head). Padded rows beyond n_valid
+      never enter the attention at all, so the (N,N) mask, the -1e30
+      select, and the third 128-lane tile of both attention matmuls
+      disappear.
+    - **exp2-domain softmax**: the softmax scale and log2(e) are folded
+      into the q columns right after the qkv matmul (one fused f32
+      multiply), so the kernel computes exp2 directly — Mosaic lowers exp
+      as exp2 anyway; this removes the explicit scale pass.
+    - **deferred normalization** (flash-attention style): the row-sum z is
+      taken from the f32 probabilities and division happens on the (N, dh)
+      context instead of the (N, N) probability matrix.
+    - **stage-split head loop** (3.55 -> 3.03 ms/layer, bit-identical
+      output): the per-head work is issued as three unrolled passes — all
+      score matmuls, then all softmaxes, then all pv matmuls — instead of
+      one fused loop. The per-head chains are independent, so the split
+      hands Mosaic's scheduler 12 dependency-free MXU ops followed by 12
+      VPU chains followed by 12 MXU ops, and the MXU/VPU phases of
+      different heads overlap instead of serializing head-by-head. Costs
+      VMEM for the 12 live (NP, na) f32 score/probability buffers per
+      element — needs `vmem_limit_bytes` raised past the 16 MB default at
+      bb=2 (set at the pallas_call to the measured e2e optimum, 28 MB;
+      see the dispatch comment in _fused_mhsa_pallas).
+
+    Numerics: max |out - f32 oracle| at production shapes is 0.0087 vs
+    0.0079 for both the masked kernel and the XLA bf16 path — i.e. within
+    bf16 rounding noise (the ones-column rowsum-via-matmul variant was
+    measured numerically WRONG on hardware and is deliberately absent; a
+    row-sum via a separate p @ ones(256,128) MXU matmul was measured
+    SLOWER, 3.69 ms/layer, and numerically worse).
+    """
+    m, d = x_ref.shape
+    np_ = m // bb
+    dh = d // num_heads
+    na = n_valid - 1          # multiple of 128 by dispatch condition
+
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    x = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+         * ln_scale_ref[:].astype(jnp.float32)
+         + ln_bias_ref[:].astype(jnp.float32)).astype(x_raw.dtype)
+
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    # fold attention scale + exp->exp2 change of base into q while f32
+    # (folding into the bf16 *weights* would re-round them: measured 40x
+    # worse max error)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+    srow = jnp.where(col3 < d, dh ** -0.5 * _LOG2E, 1.0)
+    qkv = ((qkv + bqkv_ref[:].astype(jnp.float32)) * srow).astype(x.dtype)
+
+    for e in range(bb):
+        rows = slice(e * np_, (e + 1) * np_)
+        ss, sbs = [], []
+        for h in range(num_heads):          # stage 1: all score matmuls
+            q = qkv[rows, h * dh:(h + 1) * dh]
+            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
+            ss.append(jax.lax.dot_general(  # (NP, na) f32, log2 domain
+                q, k[:na], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            sbs.append(jnp.sum(
+                q.astype(jnp.float32) * k[na:na + 1].astype(jnp.float32),
+                axis=-1, keepdims=True))
+        ps, pbs, zs = [], [], []
+        for h in range(num_heads):          # stage 2: all softmaxes (VPU)
+            mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
+            p = jnp.exp2(ss[h] - mx)
+            pb = jnp.exp2(sbs[h] - mx)
+            ps.append(p)
+            pbs.append(pb)
+            zs.append(jnp.sum(p, axis=-1, keepdims=True) + pb)
+        for h in range(num_heads):          # stage 3: all pv matmuls
+            v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            o = jnp.dot(ps[h].astype(v.dtype), v[:na],
+                        preferred_element_type=jnp.float32)
+            o = (o + pbs[h] * v[na:na + 1].astype(jnp.float32)) / zs[h]
+            ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
+
+    out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
     out = out * gamma_ref[:].astype(jnp.float32) + x_raw.astype(jnp.float32)
     o_ref[:] = out.astype(o_ref.dtype)
 
@@ -324,8 +421,27 @@ def _fused_mhsa_pallas(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     xf = x.reshape(b * np_, d)
 
     grid = (b // bb,)
-    kernel = functools.partial(_mhsa_kernel, num_heads=num_heads,
-                               scale=scale, n_valid=n, bb=bb, ln_eps=ln_eps)
+    # n = 128k+1 (ViT patches + CLS) dispatches to the key-split kernel:
+    # lane-aligned attention matmuls, no masking, exp2 softmax, stage-split
+    # head loop. Other lengths use the generic masked kernel. The stage
+    # split keeps all heads' f32 score buffers live, so its VMEM scope must
+    # be raised past the 16 MB default — but only JUST past the real need:
+    # the limit steers Mosaic's schedule, and the e2e 12-layer sweep is
+    # sharply non-monotone (28 MB: 86.3 ms/batch; 24: 88.0; 32/40/64:
+    # ~94.7 — worse than the pre-split kernel). 28 MB is the measured
+    # optimum, not a safety margin.
+    if n > 128 and (n - 1) % 128 == 0:
+        kernel = functools.partial(_mhsa_kernel_v3, num_heads=num_heads,
+                                   n_valid=n, bb=bb, ln_eps=ln_eps)
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 1024 * 1024)
+    else:
+        kernel = functools.partial(_mhsa_kernel, num_heads=num_heads,
+                                   scale=scale, n_valid=n, bb=bb,
+                                   ln_eps=ln_eps)
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -346,8 +462,7 @@ def _fused_mhsa_pallas(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         out_specs=pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bb * np_, d), x.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * np_ * d * 4 * d + 4 * b * num_heads * np_ * np_ * dh,
             bytes_accessed=2 * b * np_ * d * x.dtype.itemsize,

@@ -15,9 +15,12 @@ class RegressionModel(nn.Module):
     """backbone(images) -> pooling -> head -> (B, out_dim).
 
     `pooling` selects which backbone feature feeds the head:
-    - "pooler"/"mean": BackboneOutput.pooled (HF-pooler-equivalent / global
-      mean — both are means in this stack; Swin v1-v3 vs v4 distinction,
-      swin_attempt_3.py:164-170)
+    - "pooler": BackboneOutput.pooled (the HF-pooler equivalent — mean of
+      tokens for Swin/ConvNeXt/EfficientNet, CLS for DINOv2)
+    - "mean": f32 mean over the FULL last_hidden_state (CLS + patches for
+      ViTs) — the reference's `.mean(dim=1)` recipes
+      (swin_attempt_3.py:164-170, dinov2salad_finetuning_2.py:127); for
+      Swin this equals "pooler", for DINOv2 it does not
     - "cls": CLS token (DINOv2 angle heads, dino_angle_finetuning.py:45)
 
     `freeze_backbone` reproduces the frozen-descriptor path
@@ -47,13 +50,25 @@ class RegressionModel(nn.Module):
     def __call__(self, images: jax.Array, train: bool = False,
                  deterministic: bool = True) -> jax.Array:
         out = self.backbone(images, train=train, deterministic=deterministic)
-        if self.config.pooling == "cls" and out.cls is not None:
-            feats = out.cls
-        else:
-            feats = out.pooled
+        feats = self._pool(out)
         if self.config.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
         return self.head(feats, deterministic=deterministic)
+
+    def _pool(self, out) -> jax.Array:
+        if self.config.pooling == "cls" and out.cls is not None:
+            return out.cls
+        if self.config.pooling == "mean" and out.tokens is not None:
+            # mean over the FULL last_hidden_state — for ViTs that is CLS +
+            # patch tokens (dinov2salad_finetuning_2.py:127 `.mean(dim=1)`;
+            # swin_attempt_3.py:164-170). f32 accumulation: a bf16 sum over
+            # 257 tokens loses ~2 mantissa bits.
+            tok_sum = jnp.sum(out.tokens.astype(jnp.float32), axis=1)
+            n = out.tokens.shape[1]
+            if out.cls is not None:
+                return (tok_sum + out.cls.astype(jnp.float32)) / (n + 1)
+            return tok_sum / n
+        return out.pooled
 
     def features(self, images: jax.Array) -> jax.Array:
         """Descriptor/feature extraction path (eval only)."""

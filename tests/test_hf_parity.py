@@ -1,0 +1,135 @@
+"""Converter parity vs the REAL HuggingFace modeling code.
+
+The replica-oracle tests (test_swin.py, test_dinov2_convnext_salad.py,
+test_efficientnet.py) compare against torch modules handwritten in the test
+files — solid for weight layout, but blind to any drift between the replica
+and HF's actual modeling code (padding, eps, pooling order, activation
+flavor). These tests close that hole without any network access: build the
+*installed* `transformers` model at a tiny config with random-init weights,
+convert its state_dict with the production converter, and require the flax
+forward to match the torch forward.
+
+Covers every converter whose source-of-truth library is installed:
+  convert_dinov2_hf     <- transformers.Dinov2Model
+  convert_swin_hf       <- transformers.SwinModel   (incl. a shifted block)
+  convert_convnext_hf   <- transformers.ConvNextModel
+  convert_efficientnet_hf <- transformers.EfficientNetModel (b0 config)
+(The torchvision / facebookresearch-hub converters keep their replica
+oracles — those packages are not installed in this image.)
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from geovpr.models import convert_torch as C  # noqa: E402
+
+
+def _images(rng, n, size):
+    x = rng.normal(size=(n, size, size, 3)).astype(np.float32)
+    return x, torch.tensor(np.transpose(x, (0, 3, 1, 2)))
+
+
+class TestDinov2HF:
+    def test_forward_parity(self, rng):
+        from transformers import Dinov2Config, Dinov2Model
+
+        from geovpr.models.dinov2 import DinoV2
+
+        cfg = Dinov2Config(hidden_size=64, num_hidden_layers=2,
+                           num_attention_heads=2, intermediate_size=128,
+                           image_size=28, patch_size=14,
+                           layerscale_value=0.5)
+        hf = Dinov2Model(cfg).eval()
+        variables = C.convert_dinov2_hf(hf.state_dict(), num_layers=2)
+
+        x, xt = _images(rng, 2, 28)
+        with torch.no_grad():
+            want = hf(xt).last_hidden_state.numpy()
+
+        model = DinoV2(hidden_size=64, num_layers=2, num_heads=2,
+                       patch_size=14, image_size=28)
+        out = model.apply(variables, jnp.asarray(x))
+        got = np.concatenate(
+            [np.asarray(out.cls)[:, None, :], np.asarray(out.tokens)], axis=1)
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+class TestSwinHF:
+    def test_forward_parity_with_shifted_block(self, rng):
+        from transformers import SwinConfig, SwinModel
+
+        from geovpr.models.swin import SwinTransformer
+
+        # depths (2, 1): stage-0 block 1 is a SHIFTED window block, so the
+        # roll + additive -100 mask path is exercised against HF too
+        cfg = SwinConfig(image_size=56, patch_size=4, embed_dim=16,
+                         depths=[2, 1], num_heads=[2, 4], window_size=7,
+                         drop_path_rate=0.0)
+        hf = SwinModel(cfg, add_pooling_layer=False).eval()
+        variables = C.convert_swin_hf(hf.state_dict(), depths=(2, 1))
+
+        x, xt = _images(rng, 2, 56)
+        with torch.no_grad():
+            want = hf(xt).last_hidden_state.numpy()
+
+        model = SwinTransformer(embed_dim=16, depths=(2, 1),
+                                num_heads=(2, 4), window_size=7,
+                                image_size=56, drop_path_rate=0.0)
+        out = model.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out.tokens), want,
+                                   atol=3e-5, rtol=1e-4)
+
+
+class TestConvNextHF:
+    def test_forward_parity(self, rng):
+        from transformers import ConvNextConfig, ConvNextModel
+
+        from geovpr.models.convnext import ConvNeXt
+
+        cfg = ConvNextConfig(num_channels=3, num_stages=2,
+                             hidden_sizes=[16, 32], depths=[1, 2],
+                             image_size=32)
+        hf = ConvNextModel(cfg).eval()
+        variables = C.convert_convnext_hf(hf.state_dict(), depths=(1, 2))
+
+        x, xt = _images(rng, 2, 32)
+        with torch.no_grad():
+            res = hf(xt)
+            want_pooled = res.pooler_output.numpy()
+            # HF last_hidden_state is NCHW, ours is (B, H*W, C)
+            want_tokens = res.last_hidden_state.permute(0, 2, 3, 1).numpy()
+            want_tokens = want_tokens.reshape(want_tokens.shape[0], -1,
+                                              want_tokens.shape[-1])
+
+        model = ConvNeXt(depths=(1, 2), dims=(16, 32))
+        out = model.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out.tokens), want_tokens,
+                                   atol=3e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(out.pooled), want_pooled,
+                                   atol=3e-5, rtol=1e-4)
+
+
+class TestEfficientNetHF:
+    def test_forward_parity_b0(self, rng):
+        from transformers import EfficientNetConfig, EfficientNetModel
+
+        from geovpr.models.efficientnet import EfficientNetB0
+
+        cfg = EfficientNetConfig(width_coefficient=1.0, depth_coefficient=1.0,
+                                 hidden_dim=1280, image_size=224)
+        hf = EfficientNetModel(cfg).eval()
+        variables = C.convert_efficientnet_hf(hf.state_dict())
+
+        x, xt = _images(rng, 2, 224)
+        with torch.no_grad():
+            want = hf(xt).pooler_output.numpy()
+
+        model = EfficientNetB0(conv_padding="tf")
+        out = model.apply(variables, jnp.asarray(x), train=False)
+        np.testing.assert_allclose(np.asarray(out.pooled), want,
+                                   atol=2e-4, rtol=1e-3)

@@ -61,6 +61,39 @@ class TestFusedMhsaBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=1e-4)
 
+    def test_key_split_fast_path_matches_xla(self, monkeypatch):
+        """N = 128k+1 dispatches to the key-split kernel (_mhsa_kernel_v3):
+        lane-aligned matmuls + single VPU key, exp2 softmax, deferred
+        normalization. Must match the XLA block; tolerance is looser than
+        the masked kernel's because deferred normalization reorders the
+        f32 rounding (measured ~1e-3 relative worst-case, far below bf16
+        noise on the production path)."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = 2, 129, 16, 4
+        rng = np.random.default_rng(1)
+        x = jnp.array(rng.normal(size=(B, N, D)).astype(np.float32))
+        ln_s = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1 + 1)
+        ln_b = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1)
+        wqkv = jnp.array(rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.2)
+        bqkv = jnp.array(rng.normal(size=3 * D).astype(np.float32) * 0.1)
+        wo = jnp.array(rng.normal(size=(D, D)).astype(np.float32) * 0.2)
+        bo = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1)
+        gamma = jnp.array(rng.normal(size=D).astype(np.float32) * 0.5)
+
+        got = m._fused_mhsa_pallas(x, ln_s, ln_b, wqkv, bqkv, wo, bo, gamma,
+                                   num_heads=H)
+        want = m._mhsa_block_xla(x, ln_s, ln_b, wqkv, bqkv, wo, bo, gamma,
+                                 H, 1e-6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, rtol=2e-3)
+
     def test_padding_masked(self, monkeypatch):
         """N=5 pads to 128 inside the kernel; padded keys must not leak
         into the softmax (checked implicitly by the parity test above, and
