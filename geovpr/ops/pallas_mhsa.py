@@ -230,6 +230,137 @@ def _mhsa_train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     o_ref[:] = out.astype(o_ref.dtype)
 
 
+def _mhsa_train_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref,
+                          bqkv_ref, wo_ref, bo_ref, gamma_ref, o_ref,
+                          qkv_ref, ctx_ref,
+                          *, num_heads: int, n_valid: int, bb: int,
+                          ln_eps: float):
+    """Training-forward fast path for n_valid = 128k+1: key-split + exp2
+    softmax + deferred normalization + stage-split head loop, exactly as
+    `_mhsa_kernel_v3`, but additionally materializing the qkv projections
+    and attention context to HBM for the structured backward. The SAVED
+    qkv is the plain post-bias projection (no scale/log2e folding) so the
+    backward contract is identical to the masked path; the fold is applied
+    to a kernel-local copy of q only."""
+    m, d = x_ref.shape
+    np_ = m // bb
+    dh = d // num_heads
+    na = n_valid - 1
+
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    x = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+         * ln_scale_ref[:].astype(jnp.float32)
+         + ln_bias_ref[:].astype(jnp.float32)).astype(x_raw.dtype)
+
+    qkvf = (jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+            + bqkv_ref[:].astype(jnp.float32))
+    qkv = qkvf.astype(x.dtype)
+    qkv_ref[:] = qkv
+    qf = (qkvf[:, :d] * (dh ** -0.5 * _LOG2E)).astype(x.dtype)
+
+    for e in range(bb):
+        rows = slice(e * np_, (e + 1) * np_)
+        ss, sbs = [], []
+        for h in range(num_heads):
+            q = qf[rows, h * dh:(h + 1) * dh]
+            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
+            ss.append(jax.lax.dot_general(
+                q, k[:na], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            sbs.append(jnp.sum(
+                q.astype(jnp.float32) * k[na:na + 1].astype(jnp.float32),
+                axis=-1, keepdims=True))
+        ps, pbs, zs = [], [], []
+        for h in range(num_heads):
+            mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
+            p = jnp.exp2(ss[h] - mx)
+            pb = jnp.exp2(sbs[h] - mx)
+            ps.append(p)
+            pbs.append(pb)
+            zs.append(jnp.sum(p, axis=-1, keepdims=True) + pb)
+        for h in range(num_heads):
+            v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            o = jnp.dot(ps[h].astype(v.dtype), v[:na],
+                        preferred_element_type=jnp.float32)
+            o = (o + pbs[h] * v[na:na + 1].astype(jnp.float32)) / zs[h]
+            ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
+
+    out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32)
+    out = out * gamma_ref[:].astype(jnp.float32) + x_raw.astype(jnp.float32)
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_v3(qkv_ref, da_ref, dqkv_ref,
+                        *, num_heads: int, scale: float, n_valid: int,
+                        bb: int):
+    """Attention-core backward with a stage-split head loop: recompute
+    matmuls, then softmax VPU chains, then dP matmuls, then softmax-bwd
+    VPU, then the gradient matmuls — so Mosaic overlaps the independent
+    per-head MXU and VPU streams (same scheduling win as the forward's
+    stage split). Matmul shapes stay masked/(NP,NP) like `_attn_bwd_kernel`:
+    a key-split variant (all matmuls lane-aligned at na) was written and
+    REJECTED — assembling the (NP, dh) dk/dv blocks from (na,dh)+(1,dh)+
+    zero rows needs a sublane-dimension concatenate that Mosaic cannot
+    lower ("result/input offset mismatch on non-concat dimension")."""
+    m, d3 = qkv_ref.shape
+    d = d3 // 3
+    np_ = m // bb
+    dh = d // num_heads
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    key_mask = col < n_valid
+
+    qkv = qkv_ref[:]
+    for e in range(bb):
+        rows = slice(e * np_, (e + 1) * np_)
+        ss = []
+        for h in range(num_heads):          # stage 1: recompute scores
+            q = qkv[rows, h * dh:(h + 1) * dh]
+            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
+            ss.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        pss = []
+        for h in range(num_heads):          # stage 2: softmax recompute
+            s = jnp.where(key_mask, ss[h] * scale, -1e30)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            pss.append(p / jnp.sum(p, axis=-1, keepdims=True))
+        dps = []
+        for h in range(num_heads):          # stage 3: dP matmuls
+            v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            da = da_ref[rows, h * dh:(h + 1) * dh]
+            dps.append(jax.lax.dot_general(
+                da, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dss = []
+        for h in range(num_heads):          # stage 4: softmax backward VPU
+            p = pss[h]
+            ds = p * (dps[h] - jnp.sum(dps[h] * p, axis=-1, keepdims=True))
+            dss.append((ds * scale).astype(qkv.dtype))
+        for h in range(num_heads):          # stage 5: gradient matmuls
+            q = qkv[rows, h * dh:(h + 1) * dh]
+            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
+            da = da_ref[rows, h * dh:(h + 1) * dh]
+            pb = pss[h].astype(qkv.dtype)
+            dv = jax.lax.dot_general(
+                pb, da, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq = jnp.dot(dss[h], k, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                dss[h], q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqkv_ref[rows, h * dh:(h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[rows, d + h * dh:d + (h + 1) * dh] = (
+                dk.astype(dqkv_ref.dtype))
+            dqkv_ref[rows, 2 * d + h * dh:2 * d + (h + 1) * dh] = (
+                dv.astype(dqkv_ref.dtype))
+
+
 def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref,
                      *, num_heads: int, scale: float, n_valid: int, bb: int):
     """Attention-core backward: given saved qkv and da = dL/d(ctx), emit
@@ -490,8 +621,22 @@ def _fused_mhsa_pallas_train(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
     xf = x.reshape(b * np_, d)
 
     grid = (b // bb,)
-    kernel = functools.partial(_mhsa_train_kernel, num_heads=num_heads,
-                               scale=scale, n_valid=n, bb=bb, ln_eps=ln_eps)
+    # same fast-path dispatch as inference (see _fused_mhsa_pallas); the
+    # saved qkv residual is identical either way, so fwd/bwd kernels may
+    # mix freely
+    if n > 128 and (n - 1) % 128 == 0:
+        kernel = functools.partial(_mhsa_train_kernel_v3,
+                                   num_heads=num_heads, n_valid=n, bb=bb,
+                                   ln_eps=ln_eps)
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 1024 * 1024)
+    else:
+        kernel = functools.partial(_mhsa_train_kernel, num_heads=num_heads,
+                                   scale=scale, n_valid=n, bb=bb,
+                                   ln_eps=ln_eps)
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out, qkv, ctx = pl.pallas_call(
@@ -521,8 +666,7 @@ def _fused_mhsa_pallas_train(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
             pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * np_ * d * 4 * d + 4 * b * num_heads * np_ * np_ * dh,
             bytes_accessed=7 * b * np_ * d * x.dtype.itemsize,
@@ -545,8 +689,17 @@ def _attn_bwd_pallas(qkv: jax.Array, da: jax.Array, num_heads: int,
     bb = 1   # bb=2 exceeds the 16MB VMEM scope (measured 19MB)
 
     grid = (b // bb,)
-    kernel = functools.partial(_attn_bwd_kernel, num_heads=num_heads,
-                               scale=scale, n_valid=n_valid, bb=bb)
+    if n_valid > 128 and (n_valid - 1) % 128 == 0:
+        kernel = functools.partial(_attn_bwd_kernel_v3, num_heads=num_heads,
+                                   scale=scale, n_valid=n_valid, bb=bb)
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 1024 * 1024)
+    else:
+        kernel = functools.partial(_attn_bwd_kernel, num_heads=num_heads,
+                                   scale=scale, n_valid=n_valid, bb=bb)
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, d3), qkv.dtype),
@@ -559,8 +712,7 @@ def _attn_bwd_pallas(qkv: jax.Array, da: jax.Array, num_heads: int,
         ],
         out_specs=pl.BlockSpec((bb * np_, d3), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        compiler_params=compiler_params,
         cost_estimate=pl.CostEstimate(
             flops=10 * (m // np_) * num_heads * np_ * np_ * dh,
             bytes_accessed=2 * m * (d3 + d) * qkv.dtype.itemsize,

@@ -229,3 +229,36 @@ class TestFusedMhsaGrads:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+    def test_grads_match_xla_key_split_path(self, monkeypatch):
+        """N = 128k+1 routes the TRAIN forward and the attention backward
+        through their key-split + stage-split fast paths
+        (_mhsa_train_kernel_v3 / _attn_bwd_kernel_v3); gradients must still
+        match the XLA block."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = 2, 129, 16, 4
+        rng = np.random.default_rng(4)
+        x = jnp.array(rng.normal(size=(B, N, D)), jnp.float32)
+        args = tuple(jnp.array(rng.normal(size=s) * 0.2, jnp.float32)
+                     for s in [(D,), (D,), (D, 3 * D), (3 * D,), (D, D),
+                               (D,), (D,)])
+
+        def loss_pl(x, *a):
+            return jnp.sum(m.fused_mhsa_block(x, *a, num_heads=H) ** 2)
+
+        def loss_xla(x, *a):
+            return jnp.sum(m._mhsa_block_xla(x, *a, num_heads=H,
+                                             ln_eps=1e-6) ** 2)
+
+        g1 = jax.grad(loss_pl, argnums=tuple(range(8)))(x, *args)
+        g2 = jax.grad(loss_xla, argnums=tuple(range(8)))(x, *args)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
