@@ -17,12 +17,15 @@ gelu_exact = functools.partial(nn.gelu, approximate=False)
 def gelu_fast(x: jax.Array) -> jax.Array:
     """GELU that is erf-exact in f32 and tanh-approximate in bf16.
 
-    The tanh approximation deviates from erf-GELU by <=3e-4 absolute —
-    below bf16 resolution (ULP at 1.0 is 7.8e-3), so on the bf16 TPU
-    compute path it is numerically free. Measured on v5e at DINOv2-B
-    shapes (B=256, 65792x3072): erf costs ~2 ms/layer more than tanh
-    (erf lowers to a long rational-polynomial chain on the VPU).
-    Parity tests run the models in f32, where this stays erf-exact.
+    This is a measured speed/accuracy TRADEOFF, not a free change: the
+    tanh approximation deviates from erf-GELU by up to 4.7e-4 absolute
+    (at x~=-2.7, where the output is ~-0.0094 — several bf16 ULPs, ~5%
+    relative in that tail), so bf16 activations do shift in the negative
+    tail. It is accepted because erf costs ~2 ms/layer more than tanh at
+    DINOv2-B MLP shapes on v5e (65792x3072 — erf lowers to a long
+    rational-polynomial VPU chain that dominates the fused epilogue).
+    Parity tests run the models in f32, where this stays erf-exact;
+    bf16-vs-torch parity comparisons must budget for the activation delta.
     """
     return nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
 

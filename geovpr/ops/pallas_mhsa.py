@@ -36,6 +36,74 @@ from jax.experimental.pallas import tpu as pltpu
 _LOG2E = math.log2(math.e)
 
 
+def _v3_fast_path(n: int, np_: int, num_heads: int, bb: int, width: int,
+                  dtype):
+    """Gate for the stage-split fast-path kernels. Returns the
+    CompilerParams to compile them with, or None -> use the masked kernel.
+
+    Conditions (all load-bearing, each violated case VERIFIED to matter):
+    - n = 128k+1: the key-split layout only exists for ViT patches+CLS.
+    - bf16 activations: f32 doubles every live buffer — Mosaic compile
+      fails with a VMEM OOM at base-14 f32 (confirmed on v5e).
+    - stage-buffer footprint cap: the split keeps all heads' f32 score +
+      probability planes live at once; at large-14 (H=16, D=1024) that
+      already exceeds the scope and Mosaic OOMs (confirmed). 14 MB admits
+      every tuned config (base-14 bb=2 = 13.3 MB) and rejects larger ones.
+    `width` is the live score-plane width: n-1 for the key-split forward
+    kernels, np_ for the masked-shape backward.
+
+    The 28 MB vmem_limit_bytes is a measured e2e OPTIMUM, not a cap — the
+    12-layer sweep is sharply non-monotone (28 MB: 86.3 ms/batch; 24:
+    88.0; 32/40/64: ~94.7, worse than the unsplit kernel, even though
+    64 MB microbenches faster standalone). Sweep against the full model
+    if these kernels change.
+    """
+    if not (n > 128 and (n - 1) % 128 == 0):
+        return None
+    plane_bytes = num_heads * np_ * width * 4 * 2 * bb
+    # tiny shapes (unit tests, small variants) can't OOM in any dtype;
+    # production-scale f32 is rejected outright
+    if dtype != jnp.bfloat16 and plane_bytes > 2 * 1024 * 1024:
+        return None
+    if plane_bytes > 14 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(dimension_semantics=("parallel",),
+                                vmem_limit_bytes=28 * 1024 * 1024)
+
+
+def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,
+                           num_heads: int, na: int):
+    """The shared key-split + exp2 + deferred-norm + stage-split attention
+    core of the v3 kernels. `qf` (M, D) must already have the softmax
+    scale x log2(e) folded into it; `kv` is the (M, 2D) k|v column block.
+    Writes per-head context for `rows` into ctx_ref. Pure Python helper:
+    traces/unrolls identically to inlined code, zero runtime cost."""
+    ss, sbs = [], []
+    for h in range(num_heads):          # stage 1: all score matmuls
+        q = qf[rows, h * dh:(h + 1) * dh]
+        k = kv[rows, h * dh:(h + 1) * dh]
+        ss.append(jax.lax.dot_general(  # (NP, na) f32, log2 domain
+            q, k[:na], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        sbs.append(jnp.sum(
+            q.astype(jnp.float32) * k[na:na + 1].astype(jnp.float32),
+            axis=-1, keepdims=True))
+    ps, pbs, zs = [], [], []
+    for h in range(num_heads):          # stage 2: all softmaxes (VPU)
+        mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
+        p = jnp.exp2(ss[h] - mx)
+        pb = jnp.exp2(sbs[h] - mx)
+        ps.append(p)
+        pbs.append(pb)
+        zs.append(jnp.sum(p, axis=-1, keepdims=True) + pb)
+    for h in range(num_heads):          # stage 3: all pv matmuls
+        v = kv[rows, d + h * dh:d + (h + 1) * dh]
+        o = jnp.dot(ps[h].astype(v.dtype), v[:na],
+                    preferred_element_type=jnp.float32)
+        o = (o + pbs[h] * v[na:na + 1].astype(jnp.float32)) / zs[h]
+        ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
+
+
 def _mhsa_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
                  wo_ref, bo_ref, gamma_ref, o_ref, ctx_ref,
                  *, num_heads: int, scale: float, n_valid: int, bb: int,
@@ -91,8 +159,11 @@ def _mhsa_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
                     wo_ref, bo_ref, gamma_ref, o_ref, ctx_ref,
                     *, num_heads: int, n_valid: int, bb: int, ln_eps: float):
     """Inference fast path for n_valid = 128k + 1 (ViT-B/14 at 224: 256
-    patches + CLS = 257). Three measured wins over the masked kernel
-    (3.96 -> 3.40 ms/layer at B=256 N=257 D=768 H=12 on v5e):
+    patches + CLS = 257). Four measured wins over the masked kernel,
+    3.96 -> 3.03 ms/layer at B=256 N=257 D=768 H=12 on v5e (intermediate
+    checkpoints: 3.40 after the first three, in the process that measured
+    the 3.96 baseline; the stage-split ablation in a fresh process read
+    3.55 -> 3.03 — run-to-run process variance is ~4%):
 
     - **key-split**: keys/values 0..n-2 go through exactly lane-aligned
       (256-wide) MXU matmuls; the single remaining key is handled with VPU
@@ -107,8 +178,8 @@ def _mhsa_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     - **deferred normalization** (flash-attention style): the row-sum z is
       taken from the f32 probabilities and division happens on the (N, dh)
       context instead of the (N, N) probability matrix.
-    - **stage-split head loop** (3.55 -> 3.03 ms/layer, bit-identical
-      output): the per-head work is issued as three unrolled passes — all
+    - **stage-split head loop** (bit-identical output): the per-head work
+      is issued as three unrolled passes — all
       score matmuls, then all softmaxes, then all pv matmuls — instead of
       one fused loop. The per-head chains are independent, so the split
       hands Mosaic's scheduler 12 dependency-free MXU ops followed by 12
@@ -149,30 +220,8 @@ def _mhsa_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
 
     for e in range(bb):
         rows = slice(e * np_, (e + 1) * np_)
-        ss, sbs = [], []
-        for h in range(num_heads):          # stage 1: all score matmuls
-            q = qkv[rows, h * dh:(h + 1) * dh]
-            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
-            ss.append(jax.lax.dot_general(  # (NP, na) f32, log2 domain
-                q, k[:na], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            sbs.append(jnp.sum(
-                q.astype(jnp.float32) * k[na:na + 1].astype(jnp.float32),
-                axis=-1, keepdims=True))
-        ps, pbs, zs = [], [], []
-        for h in range(num_heads):          # stage 2: all softmaxes (VPU)
-            mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
-            p = jnp.exp2(ss[h] - mx)
-            pb = jnp.exp2(sbs[h] - mx)
-            ps.append(p)
-            pbs.append(pb)
-            zs.append(jnp.sum(p, axis=-1, keepdims=True) + pb)
-        for h in range(num_heads):          # stage 3: all pv matmuls
-            v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            o = jnp.dot(ps[h].astype(v.dtype), v[:na],
-                        preferred_element_type=jnp.float32)
-            o = (o + pbs[h] * v[na:na + 1].astype(jnp.float32)) / zs[h]
-            ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
+        _stage_split_attention(qkv[:, :d], qkv[:, d:], ctx_ref, rows=rows,
+                               d=d, dh=dh, num_heads=num_heads, na=na)
 
     out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
     out = out + bo_ref[:].astype(jnp.float32)
@@ -263,30 +312,8 @@ def _mhsa_train_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref,
 
     for e in range(bb):
         rows = slice(e * np_, (e + 1) * np_)
-        ss, sbs = [], []
-        for h in range(num_heads):
-            q = qf[rows, h * dh:(h + 1) * dh]
-            k = qkv[rows, d + h * dh:d + (h + 1) * dh]
-            ss.append(jax.lax.dot_general(
-                q, k[:na], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-            sbs.append(jnp.sum(
-                q.astype(jnp.float32) * k[na:na + 1].astype(jnp.float32),
-                axis=-1, keepdims=True))
-        ps, pbs, zs = [], [], []
-        for h in range(num_heads):
-            mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
-            p = jnp.exp2(ss[h] - mx)
-            pb = jnp.exp2(sbs[h] - mx)
-            ps.append(p)
-            pbs.append(pb)
-            zs.append(jnp.sum(p, axis=-1, keepdims=True) + pb)
-        for h in range(num_heads):
-            v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
-            o = jnp.dot(ps[h].astype(v.dtype), v[:na],
-                        preferred_element_type=jnp.float32)
-            o = (o + pbs[h] * v[na:na + 1].astype(jnp.float32)) / zs[h]
-            ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
+        _stage_split_attention(qf, qkv[:, d:], ctx_ref, rows=rows,
+                               d=d, dh=dh, num_heads=num_heads, na=na)
 
     out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
     out = out + bo_ref[:].astype(jnp.float32)
@@ -552,21 +579,13 @@ def _fused_mhsa_pallas(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     xf = x.reshape(b * np_, d)
 
     grid = (b // bb,)
-    # n = 128k+1 (ViT patches + CLS) dispatches to the key-split kernel:
-    # lane-aligned attention matmuls, no masking, exp2 softmax, stage-split
-    # head loop. Other lengths use the generic masked kernel. The stage
-    # split keeps all heads' f32 score buffers live, so its VMEM scope must
-    # be raised past the 16 MB default — but only JUST past the real need:
-    # the limit steers Mosaic's schedule, and the e2e 12-layer sweep is
-    # sharply non-monotone (28 MB: 86.3 ms/batch; 24: 88.0; 32/40/64:
-    # ~94.7 — worse than the pre-split kernel). 28 MB is the measured
-    # optimum, not a safety margin.
-    if n > 128 and (n - 1) % 128 == 0:
+    # key-split + stage-split fast path when eligible (see _v3_fast_path
+    # for the gating conditions and the VMEM-limit rationale); everything
+    # else takes the generic masked kernel
+    compiler_params = _v3_fast_path(n, np_, num_heads, bb, n - 1, x.dtype)
+    if compiler_params is not None:
         kernel = functools.partial(_mhsa_kernel_v3, num_heads=num_heads,
                                    n_valid=n, bb=bb, ln_eps=ln_eps)
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=28 * 1024 * 1024)
     else:
         kernel = functools.partial(_mhsa_kernel, num_heads=num_heads,
                                    scale=scale, n_valid=n, bb=bb,
@@ -621,16 +640,13 @@ def _fused_mhsa_pallas_train(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
     xf = x.reshape(b * np_, d)
 
     grid = (b // bb,)
-    # same fast-path dispatch as inference (see _fused_mhsa_pallas); the
-    # saved qkv residual is identical either way, so fwd/bwd kernels may
-    # mix freely
-    if n > 128 and (n - 1) % 128 == 0:
+    # same fast-path gate as inference (the saved qkv residual is identical
+    # either way, so fwd/bwd kernels may mix freely)
+    compiler_params = _v3_fast_path(n, np_, num_heads, bb, n - 1, x.dtype)
+    if compiler_params is not None:
         kernel = functools.partial(_mhsa_train_kernel_v3,
                                    num_heads=num_heads, n_valid=n, bb=bb,
                                    ln_eps=ln_eps)
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=28 * 1024 * 1024)
     else:
         kernel = functools.partial(_mhsa_train_kernel, num_heads=num_heads,
                                    scale=scale, n_valid=n, bb=bb,
@@ -689,12 +705,12 @@ def _attn_bwd_pallas(qkv: jax.Array, da: jax.Array, num_heads: int,
     bb = 1   # bb=2 exceeds the 16MB VMEM scope (measured 19MB)
 
     grid = (b // bb,)
-    if n_valid > 128 and (n_valid - 1) % 128 == 0:
+    # width = np_ here: the backward keeps masked (NP, NP) score planes
+    compiler_params = _v3_fast_path(n_valid, np_, num_heads, bb, np_,
+                                    qkv.dtype)
+    if compiler_params is not None:
         kernel = functools.partial(_attn_bwd_kernel_v3, num_heads=num_heads,
                                    scale=scale, n_valid=n_valid, bb=bb)
-        compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-            vmem_limit_bytes=28 * 1024 * 1024)
     else:
         kernel = functools.partial(_attn_bwd_kernel, num_heads=num_heads,
                                    scale=scale, n_valid=n_valid, bb=bb)

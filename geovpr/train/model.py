@@ -56,6 +56,13 @@ class RegressionModel(nn.Module):
         return self.head(feats, deterministic=deterministic)
 
     def _pool(self, out) -> jax.Array:
+        if self.config.family == "dinov2_salad":
+            # the SALAD descriptor IS the feature for this family
+            # (dinov2salad_finetuning.py:34-37 feeds the 8448-d descriptor
+            # to the MLP); its `tokens` are raw backbone patch tokens, so
+            # mean/cls pooling over them would silently bypass the
+            # descriptor while still paying the Sinkhorn head's compute
+            return out.pooled
         if self.config.pooling == "cls" and out.cls is not None:
             return out.cls
         if self.config.pooling == "mean" and out.tokens is not None:
