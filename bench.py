@@ -14,6 +14,7 @@ Usage:
 """
 
 import argparse
+import functools
 import json
 import statistics
 import sys
@@ -120,6 +121,84 @@ def bench_input_pipeline(args):
           f"out={size}px, n={n})", file=sys.stderr)
 
 
+def bench_train_step(args):
+    """--train: full fine-tune step throughput — DINOv2-B/14 + MLP head,
+    Huber loss, AdamW update, donated state (the swin_attempt_2.py-style
+    geopose recipe on the DINOv2 backbone). Exercises the structured
+    Pallas backward (saved qkv/ctx residuals + in-VMEM stage-split
+    attention backward)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from geovpr.core.config import ModelConfig
+    from geovpr.objectives.losses import huber_loss
+    from geovpr.train.model import RegressionModel
+
+    if args.smoke:
+        cfg = ModelConfig(family="dinov2", variant="small-14", head="mlp",
+                          out_dim=2, image_size=28)
+        batch = args.batch or 4
+        iters = 2
+    else:
+        cfg = ModelConfig(family="dinov2", variant="base-14", head="mlp",
+                          out_dim=2, image_size=224)
+        batch = args.batch or 64
+        iters = args.iters
+
+    model = RegressionModel(config=cfg)
+    size = cfg.image_size
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init)(rng, jnp.zeros((1, size, size, 3)))
+    params = variables["params"]
+    tx = optax.adamw(5e-5, weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    images = jax.random.normal(jax.random.PRNGKey(1),
+                               (batch, size, size, 3), jnp.bfloat16)
+    targets = jax.random.normal(jax.random.PRNGKey(2), (batch, 2))
+
+    def loss_fn(p, images):
+        pred = model.apply({"params": p}, images, train=True)
+        return huber_loss(pred.astype(jnp.float32), targets)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, images):
+        def body(carry, _):
+            params, opt_state, images = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, images)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # loop-carried dependency so steps cannot overlap-illusion
+            images = images + (loss * 1e-24).astype(images.dtype)
+            return (params, opt_state, images), loss
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, images), None, length=iters)
+        return params, opt_state, losses
+
+    params, opt_state, losses = run(params, opt_state, images)
+    jax.device_get(losses)          # compile + warmup
+
+    reps = 2 if args.smoke else 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        params, opt_state, losses = run(params, opt_state, images)
+        jax.device_get(losses)
+        times.append((time.perf_counter() - t0) / iters)
+
+    best = min(times)
+    img_per_sec = batch / best
+    print(json.dumps({
+        "metric": "dinov2_finetune_train_step_throughput",
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / 5000.0, 4),
+    }))
+    print(f"# backend={jax.default_backend()} batch={batch} "
+          f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -129,6 +208,9 @@ def main():
                         help="benchmark the HOST input pipeline instead: "
                              "encoded JPEG files -> uint8 batches -> device "
                              "(pil vs native vs cached)")
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the fine-tune train step instead "
+                             "(DINOv2-B + MLP head, Huber, AdamW)")
     parser.add_argument("--num-images", type=int, default=0)
     parser.add_argument("--jpeg-size", type=int, default=0)
     parser.add_argument("--threads", type=int, default=0)
@@ -136,6 +218,9 @@ def main():
 
     if args.from_jpeg:
         bench_input_pipeline(args)
+        return
+    if args.train:
+        bench_train_step(args)
         return
 
     import jax
