@@ -59,9 +59,15 @@ def relative_position_index(window: int) -> np.ndarray:
     return rel.sum(-1).astype(np.int32)
 
 
-def shifted_window_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
-    """Additive attention mask for SW-MSA, (num_windows, N, N) float32 with
-    0 / -100 entries (HF semantics, modeling_swin get_attn_mask)."""
+def shifted_window_labels(h: int, w: int, window: int,
+                          shift: int) -> np.ndarray:
+    """Per-token region labels for SW-MSA windows, (num_windows, N) int32.
+    Two tokens in a window may attend iff their labels match (HF semantics,
+    modeling_swin get_attn_mask). Kept as the COMPACT constant — the
+    (nW, N, N) additive mask is expanded in-graph from this: baking the
+    dense masks as HLO constants costs ~5 MB per stage-0 block and blows
+    the remote-compile request past its size limit on real Swin-B-384
+    programs."""
     img = np.zeros((h, w), np.int32)
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
@@ -69,7 +75,14 @@ def shifted_window_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
             img[hs, ws] = cnt
             cnt += 1
     win = img.reshape(h // window, window, w // window, window)
-    win = win.transpose(0, 2, 1, 3).reshape(-1, window * window)  # (nW, N)
+    return win.transpose(0, 2, 1, 3).reshape(-1, window * window)  # (nW, N)
+
+
+def shifted_window_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Additive attention mask for SW-MSA, (num_windows, N, N) float32 with
+    0 / -100 entries — the dense form of `shifted_window_labels` (tests /
+    host-side use; the model expands labels on device instead)."""
+    win = shifted_window_labels(h, w, window, shift)
     diff = win[:, None, :] - win[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
@@ -95,7 +108,9 @@ class WindowAttention(nn.Module):
     dim: int
     num_heads: int
     window: int
-    use_pallas: bool = False  # XLA wins at Swin window shapes (N=144, dh=32): 4.0 vs 4.2 ms/stage measured; kernel kept for larger windows
+    # set by SwinBlock: kernel on the deterministic TPU path only (the
+    # Pallas backward is an XLA recompute — a net loss for training)
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -131,7 +146,7 @@ class SwinBlock(nn.Module):
     window: int
     shift: int
     drop_path: float = 0.0
-    use_pallas: bool = False  # XLA wins at Swin window shapes (N=144, dh=32): 4.0 vs 4.2 ms/stage measured; kernel kept for larger windows
+    use_pallas: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -140,16 +155,28 @@ class SwinBlock(nn.Module):
         b, l, c = x.shape
         h = w = self.resolution
         shortcut = x
+        # Kernel on the deterministic (eval) path only: slope-measured at
+        # Swin-B-384 stage-2 shapes (BW=256, H=16, N=144, dh=32) the
+        # stage-split kernel runs 1.80 vs XLA's 2.50 ms. Its backward is an
+        # XLA recompute (no structured bwd), which makes it a net LOSS for
+        # training, so the train path keeps XLA attention.
+        pallas_ok = (self.use_pallas and deterministic
+                     and jax.default_backend() == "tpu")
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm1", dtype=self.dtype)(x)
         x = x.reshape(b, h, w, c)
         if self.shift > 0:
             x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
-            mask = jnp.asarray(shifted_window_mask(h, w, self.window, self.shift))
+            # expand the (nW, N, N) additive mask on device from the tiny
+            # (nW, N) label constant (see shifted_window_labels)
+            labels = jnp.asarray(
+                shifted_window_labels(h, w, self.window, self.shift))
+            mask = jnp.where(labels[:, None, :] != labels[:, :, None],
+                             -100.0, 0.0).astype(jnp.float32)
         else:
             mask = None
         xw = window_partition(x, self.window)
         xw = WindowAttention(self.dim, self.num_heads, self.window,
-                             use_pallas=self.use_pallas, name="attn",
+                             use_pallas=pallas_ok, name="attn",
                              dtype=self.dtype)(xw, mask)
         x = window_reverse(xw, self.window, h, w)
         if self.shift > 0:
@@ -192,7 +219,10 @@ class SwinTransformer(nn.Module):
     image_size: int = 384
     patch_size: int = 4
     drop_path_rate: float = 0.1
-    use_pallas: bool = False  # XLA wins at Swin window shapes (N=144, dh=32): 4.0 vs 4.2 ms/stage measured; kernel kept for larger windows
+    # eval path takes the stage-split Pallas window kernel (1.80 vs XLA
+    # 2.50 ms slope-measured at B-384 stage-2 shapes); the train path
+    # stays on XLA attention regardless (see SwinBlock.pallas_ok)
+    use_pallas: bool = True
     # rematerialize blocks on backward — Swin-B-384's stage-1 activations
     # (9216 tokens) dominate memory; remat trades FLOPs for per-chip batch
     remat: bool = False

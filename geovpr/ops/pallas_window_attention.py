@@ -50,28 +50,57 @@ def _pick_wb(n: int, bw: int, nw: int) -> int:
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
             num_heads: int, n: int, wb: int, scale: float, mask_windows: int):
+    """Stage-split window attention (the `pallas_mhsa` round-2 recipe
+    applied here, measured at Swin-B-384 stage-2 shapes BW=256 H=16 N=144
+    dh=32: XLA 2.50 / old fused-loop kernel 1.87 / this 1.80 ms):
+
+    - operands stay in the input dtype (bf16 on the production path) with
+      f32 MXU accumulation — the old f32 casts before the matmuls cost
+      extra VPU passes and halve MXU throughput for nothing (the MXU
+      truncates operands to bf16 internally anyway);
+    - exp2-domain softmax with scale x log2(e) folded into q by one
+      multiply (bias and mask scaled by log2(e) on their f32 add);
+    - the per-(window, head) work is issued as three unrolled passes —
+      all score matmuls, then all softmax chains, then all pv matmuls —
+      so Mosaic overlaps the independent MXU and VPU streams."""
     d = q_ref.shape[-1]
     dh = d // num_heads
-    for w in range(wb):
+    log2e = math.log2(math.e)
+    qs = (q_ref[:].astype(jnp.float32) * (scale * log2e)).astype(q_ref.dtype)
+    ks = k_ref[:]
+    ss = []
+    for w in range(wb):                     # stage 1: all score matmuls
         rows = slice(w * n, (w + 1) * n)
-        # mask rows for this window inside the (mask_windows*n, n) block
-        mrows = slice((w % mask_windows) * n, (w % mask_windows + 1) * n)
-        m_w = mask_ref[mrows, :].astype(jnp.float32)
         for h in range(num_heads):
             lanes = slice(h * dh, (h + 1) * dh)
-            q = q_ref[rows, lanes].astype(jnp.float32)
-            k = k_ref[rows, lanes].astype(jnp.float32)
-            v = v_ref[rows, lanes]
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            s = s + bias_ref[h * n:(h + 1) * n, :].astype(jnp.float32) + m_w
+            ss.append(jax.lax.dot_general(
+                qs[rows, lanes], ks[rows, lanes],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    ps = []
+    i = 0
+    for w in range(wb):                     # stage 2: all softmaxes (VPU)
+        # mask rows for this window inside the (mask_windows*n, n) block
+        mrows = slice((w % mask_windows) * n, (w % mask_windows + 1) * n)
+        m_w = mask_ref[mrows, :].astype(jnp.float32) * log2e
+        for h in range(num_heads):
+            s = (ss[i] + bias_ref[h * n:(h + 1) * n, :].astype(jnp.float32)
+                 * log2e + m_w)
             s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            p = jnp.exp2(s)
+            ps.append((p, jnp.sum(p, axis=-1, keepdims=True)))
+            i += 1
+    i = 0
+    for w in range(wb):                     # stage 3: all pv matmuls
+        rows = slice(w * n, (w + 1) * n)
+        for h in range(num_heads):
+            lanes = slice(h * dh, (h + 1) * dh)
+            v = v_ref[rows, lanes]
+            p, z = ps[i]
             o = jnp.dot(p.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32) / z
             o_ref[rows, lanes] = o.astype(o_ref.dtype)
+            i += 1
 
 
 def _forward(q, k, v, bias, mask, scale):
@@ -125,7 +154,11 @@ def _forward(q, k, v, bias, mask, scale):
         out_specs=pl.BlockSpec((wb * n, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            # stage-split keeps all (window, head) f32 score planes live;
+            # Swin shapes peak well under this (stage2: ~2.7 MB), and 28 MB
+            # is the scope the stage-split kernels were measured at
+            vmem_limit_bytes=28 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * bw * num_heads * n * n * dh,
             bytes_accessed=4 * bw * n * d * q.dtype.itemsize,
