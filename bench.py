@@ -211,6 +211,10 @@ def main():
     parser.add_argument("--train", action="store_true",
                         help="benchmark the fine-tune train step instead "
                              "(DINOv2-B + MLP head, Huber, AdamW)")
+    parser.add_argument("--int8", action="store_true",
+                        help="w8a8 serving path: quantize the backbone MLPs "
+                             "(static calibrated activation scales) and "
+                             "report descriptor-fidelity cosine vs bf16")
     parser.add_argument("--num-images", type=int, default=0)
     parser.add_argument("--jpeg-size", type=int, default=0)
     parser.add_argument("--threads", type=int, default=0)
@@ -231,11 +235,13 @@ def main():
     if args.smoke:
         model = DinoV2Salad(variant="small-14", image_size=56,
                             num_clusters=16, cluster_dim=32, token_dim=32,
+                            int8_mlp=args.int8, int8_attn=args.int8,
                             dtype=jnp.bfloat16)
         batch = args.batch or 8
         iters = 3
     else:
         model = DinoV2Salad(variant="base-14", image_size=224,
+                            int8_mlp=args.int8, int8_attn=args.int8,
                             dtype=jnp.bfloat16)
         batch = args.batch or 256
         iters = args.iters
@@ -243,6 +249,27 @@ def main():
     rng = jax.random.PRNGKey(0)
     size = model.image_size
     variables = jax.jit(model.init)(rng, jnp.zeros((1, size, size, 3)))
+    if args.int8:
+        import numpy as np
+
+        from geovpr.models.quantize import quantize_for_serving
+
+        calib = jax.random.normal(jax.random.PRNGKey(2),
+                                  (min(batch, 64), size, size, 3),
+                                  jnp.bfloat16)
+        variables = quantize_for_serving(model, variables, [calib])
+        # descriptor fidelity: cosine(int8 descriptor, bf16 descriptor)
+        bf16_model = model.clone(int8_mlp=False, int8_attn=False)
+        d_bf = np.asarray(jax.jit(
+            lambda v, x: bf16_model.apply(v, x).pooled)(variables, calib),
+            np.float32)
+        d_q = np.asarray(jax.jit(
+            lambda v, x: model.apply(v, x).pooled)(variables, calib),
+            np.float32)
+        cos = (d_bf * d_q).sum(-1) / (
+            np.linalg.norm(d_bf, axis=-1) * np.linalg.norm(d_q, axis=-1))
+        print(f"# int8 descriptor fidelity vs bf16: cosine "
+              f"min={cos.min():.5f} mean={cos.mean():.5f}", file=sys.stderr)
 
     # Honest timing under a remote-device tunnel: `block_until_ready` can
     # return before device work drains there, so instead we (a) chain every
@@ -278,7 +305,8 @@ def main():
     median = statistics.median(times)
     img_per_sec = batch / best
     result = {
-        "metric": "dinov2_salad_descriptor_extraction_throughput",
+        "metric": "dinov2_salad_descriptor_extraction_throughput"
+                  + ("_int8" if args.int8 else ""),
         "value": round(img_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / 5000.0, 4),

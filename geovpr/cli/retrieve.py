@@ -67,6 +67,11 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--positive-radius", type=float, default=25.0)
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 serving path: quantize the backbone MLPs with "
+                        "static activation scales calibrated on the first "
+                        "gallery batch (~0.999 descriptor cosine vs bf16, "
+                        "measured in bench.py --int8)")
     args = p.parse_args(argv)
 
     import jax
@@ -83,6 +88,7 @@ def main(argv=None):
     queries = load_manifest(args.query_csv, args.image_root)
 
     model = DinoV2Salad(variant=args.variant, image_size=args.image_size,
+                        int8_mlp=args.int8, int8_attn=args.int8,
                         dtype=jnp.bfloat16)
     if args.variables:
         from flax.serialization import msgpack_restore
@@ -94,6 +100,19 @@ def main(argv=None):
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(0),
             jnp.zeros((1, args.image_size, args.image_size, 3)))
+
+    if args.int8:
+        from geovpr.data.pipeline import iterate_batches
+        from geovpr.data.transforms import normalize
+        from geovpr.models.quantize import quantize_for_serving
+
+        calib_src = ImageFolderSource(
+            paths=gallery.paths(), targets=np.asarray(gallery.latlon),
+            image_size=args.image_size, filenames=gallery.filenames)
+        batch = next(iter(iterate_batches(calib_src, args.batch_size)))
+        # calibrate on what the model actually sees: normalized images
+        calib = normalize(jnp.asarray(batch["image"]))
+        variables = quantize_for_serving(model, variables, [calib])
 
     def source(m):
         return ImageFolderSource(paths=m.paths(),

@@ -94,6 +94,10 @@ class DinoV2Block(nn.Module):
     layerscale_init: float = 1.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    # w8a8 serving path / its calibration pass (geovpr/models/quantize.py)
+    int8_mlp: bool = False
+    int8_attn: bool = False
+    calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -104,12 +108,32 @@ class DinoV2Block(nn.Module):
         gamma1 = self.param_child_ls("ls1")
         b, n, c = x.shape
 
+        if self.int8_attn:
+            qa = {
+                name: self.variable("quant", name, init, shape, dt)
+                for name, init, shape, dt in (
+                    ("attn_a_x", jnp.ones, (), jnp.float32),
+                    ("attn_a_ctx", jnp.ones, (), jnp.float32),
+                    ("attn_wqkv_q", jnp.zeros, (d, 3 * d), jnp.int8),
+                    ("attn_wqkv_scale", jnp.ones, (3 * d,), jnp.float32),
+                    ("attn_wo_q", jnp.zeros, (d, d), jnp.int8),
+                    ("attn_wo_scale", jnp.ones, (d,), jnp.float32),
+                )
+            }
+            if not self.is_initializing():
+                x = self._attention_int8(x, n1_scale, n1_bias, attn, gamma1,
+                                         qa)
+                return self._mlp_half(x, deterministic)
+
         # Pallas on both paths: inference 5.2 vs XLA 9.4 ms/layer; training
         # uses the structured custom VJP (saved qkv/ctx + in-VMEM attention
         # backward) measured 4.9 vs XLA's 7.7 ms/layer fwd+bwd at B=64. The
         # kernel skips DropPath, so it only applies when DropPath is inert.
+        # Calibration forces the XLA path: it sows the pre-proj attention
+        # context amax, which the fused kernel never materializes.
         pallas_ok = (self.use_pallas and jax.default_backend() == "tpu"
-                     and (deterministic or self.drop_path == 0.0))
+                     and (deterministic or self.drop_path == 0.0)
+                     and not self.calibrate)
         if pallas_ok:
             from geovpr.ops.pallas_mhsa import fused_mhsa_block
             wqkv = jnp.concatenate(
@@ -123,17 +147,93 @@ class DinoV2Block(nn.Module):
                 gamma1, num_heads=self.num_heads, ln_eps=LN_EPS)
         else:
             h = _layer_norm(x, n1_scale, n1_bias)
+            if self.calibrate:
+                self.sow("quant_calib", "attn_x",
+                         jnp.max(jnp.abs(h.astype(jnp.float32))))
             h = self._attention(h, attn)
             h = h * gamma1.astype(h.dtype)
             x = x + DropPath(self.drop_path)(h, deterministic)
 
+        return self._mlp_half(x, deterministic)
+
+    def _mlp_half(self, x, deterministic):
+        d = self.dim
         n2_scale, n2_bias = PScaleBias(d, name="norm2")()
         h = _layer_norm(x, n2_scale, n2_bias)
-        h = Mlp(hidden_dim=4 * d, name="mlp", dtype=self.dtype)(
+        h = Mlp(hidden_dim=4 * d, name="mlp", dtype=self.dtype,
+                int8=self.int8_mlp, calibrate=self.calibrate)(
             h, deterministic=deterministic)
         gamma2 = self.param_child_ls("ls2")
         h = h * gamma2.astype(h.dtype)
         return x + DropPath(self.drop_path)(h, deterministic)
+
+    def _attention_int8(self, x, n1_scale, n1_bias, attn, gamma1, qa):
+        """w8a8 attention projections with static pre-folded scales (see
+        geovpr/ops/quant.py for the scheme, _mhsa_kernel_v3_int8 for the
+        fold). Serving-only — wrapped in stop_gradient by the kernel; the
+        XLA fallback mirrors the kernel's numerics for CPU/odd shapes."""
+        d = self.dim
+        a_x = qa["attn_a_x"].value
+        a_ctx = qa["attn_a_ctx"].value
+        wqkv_q = qa["attn_wqkv_q"].value
+        wo_q = qa["attn_wo_q"].value
+        bqkv = jnp.concatenate(
+            [attn["query"][1], attn["key"][1], attn["value"][1]]
+        ).astype(jnp.float32)
+        # fold 1/a_ctx into the v third of the dequant scale and bias: the
+        # attention context (a convex combination of v rows) then lands
+        # directly in quantized units
+        vmask = jnp.where(jnp.arange(3 * d) < 2 * d, 1.0, 1.0 / a_ctx)
+        sqkv_eff = a_x * qa["attn_wqkv_scale"].value * vmask
+        bqkv_eff = bqkv * vmask
+        so_eff = a_ctx * qa["attn_wo_scale"].value
+        ln_scale_q = (n1_scale.astype(jnp.float32) / a_x)
+        ln_bias_q = (n1_bias.astype(jnp.float32) / a_x)
+        bo = attn["proj"][1].astype(jnp.float32)
+        gamma = gamma1.astype(jnp.float32)
+
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from geovpr.ops.pallas_mhsa import fused_mhsa_block_int8
+            out = fused_mhsa_block_int8(
+                x.astype(jnp.bfloat16), ln_scale_q, ln_bias_q, wqkv_q,
+                sqkv_eff, bqkv_eff, wo_q, so_eff, bo, gamma,
+                num_heads=self.num_heads, ln_eps=LN_EPS)
+            if out is not None:
+                return out.astype(x.dtype)
+
+        # XLA fallback (CPU tests, non-128k+1 shapes): same arithmetic in
+        # plain exp-domain softmax
+        b, n, c = x.shape
+        dh = d // self.num_heads
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
+        xq = jnp.clip(jnp.round(normed * ln_scale_q + ln_bias_q),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.dot_general(
+            xq.reshape(-1, d), wqkv_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        qkv = (yi.astype(jnp.float32) * sqkv_eff + bqkv_eff
+               ).astype(jnp.bfloat16).reshape(b, n, 3 * d)
+
+        def heads(t):
+            return t.reshape(b, n, self.num_heads, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k),
+                       preferred_element_type=jnp.float32) * dh ** -0.5
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b * n, d)
+        ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
+        yo = jax.lax.dot_general(
+            ctxq, wo_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = yo.astype(jnp.float32) * so_eff + bo
+        out = (out.reshape(b, n, d) * gamma + xf)
+        return jax.lax.stop_gradient(out.astype(x.dtype))
 
     def param_child_ls(self, name: str):
         return LayerScaleParam(self.dim, self.layerscale_init, name=name)()
@@ -162,6 +262,9 @@ class DinoV2Block(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", probs, v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        if self.calibrate:
+            self.sow("quant_calib", "attn_ctx",
+                     jnp.max(jnp.abs(out.astype(jnp.float32))))
         return proj(out, attn["proj"])
 
 
@@ -188,6 +291,10 @@ class DinoV2(nn.Module):
     # extra forward FLOPs for O(layers) -> O(1) activation memory — enables
     # larger per-chip batches for the big-backbone configs
     remat: bool = False
+    # w8a8 serving path (inference only) / its calibration pass
+    int8_mlp: bool = False
+    int8_attn: bool = False
+    calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -220,6 +327,8 @@ class DinoV2(nn.Module):
                           layerscale_init=self.layerscale_init,
                           drop_path=self.drop_path_rate,
                           use_pallas=self.use_pallas,
+                          int8_mlp=self.int8_mlp, int8_attn=self.int8_attn,
+                          calibrate=self.calibrate,
                           name=f"block{i}", dtype=self.dtype)(x, deterministic)
 
         norm_scale, norm_bias = PScaleBias(self.hidden_size, name="norm")()

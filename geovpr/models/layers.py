@@ -72,19 +72,81 @@ class SqueezeExcite(nn.Module):
 
 
 class Mlp(nn.Module):
-    """Transformer MLP: Linear -> act -> Linear (+dropout)."""
+    """Transformer MLP: Linear -> act -> Linear (+dropout).
+
+    Serving-path extras (see geovpr/ops/quant.py and
+    geovpr/models/quantize.py):
+    - ``calibrate=True``: sow per-tensor activation amaxes into the
+      "quant_calib" collection (zero-cost unless that collection is
+      mutable) — consumed by ``quantize_for_serving``.
+    - ``int8=True``: INFERENCE-ONLY w8a8 path — int8 matmuls against
+      pre-quantized kernels from the "quant" collection with static
+      activation scales. Init still builds the regular f32 param tree
+      (checkpoint structure is unchanged); dropout is skipped (serving is
+      deterministic) and the activation runs tanh-GELU in f32 (erf f32
+      costs ~2 ms/layer at DINOv2-B shapes, same tradeoff as gelu_fast
+      in bf16).
+    """
 
     hidden_dim: int
     out_dim: Optional[int] = None
     act: Callable = gelu_fast
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
+        in_dim = x.shape[-1]
+        if self.int8:
+            q = {
+                "a_in_scale": self.variable(
+                    "quant", "a_in_scale", jnp.ones, (), jnp.float32),
+                "a_mid_scale": self.variable(
+                    "quant", "a_mid_scale", jnp.ones, (), jnp.float32),
+                "fc1_kernel_q": self.variable(
+                    "quant", "fc1_kernel_q", jnp.zeros,
+                    (in_dim, self.hidden_dim), jnp.int8),
+                "fc1_kernel_scale": self.variable(
+                    "quant", "fc1_kernel_scale", jnp.ones,
+                    (self.hidden_dim,), jnp.float32),
+                "fc1_bias": self.variable(
+                    "quant", "fc1_bias", jnp.zeros, (self.hidden_dim,),
+                    jnp.float32),
+                "fc2_kernel_q": self.variable(
+                    "quant", "fc2_kernel_q", jnp.zeros,
+                    (self.hidden_dim, out_dim), jnp.int8),
+                "fc2_kernel_scale": self.variable(
+                    "quant", "fc2_kernel_scale", jnp.ones, (out_dim,),
+                    jnp.float32),
+                "fc2_bias": self.variable(
+                    "quant", "fc2_bias", jnp.zeros, (out_dim,), jnp.float32),
+            }
+            if not self.is_initializing():
+                from geovpr.ops.quant import int8_dense
+                lead = x.shape[:-1]
+                h = x.reshape(-1, in_dim).astype(jnp.float32)
+                h = int8_dense(h, q["a_in_scale"].value,
+                               q["fc1_kernel_q"].value,
+                               q["fc1_kernel_scale"].value,
+                               q["fc1_bias"].value)
+                h = nn.gelu(h, approximate=True)
+                h = int8_dense(h, q["a_mid_scale"].value,
+                               q["fc2_kernel_q"].value,
+                               q["fc2_kernel_scale"].value,
+                               q["fc2_bias"].value)
+                return h.reshape(*lead, out_dim).astype(x.dtype)
+
+        if self.calibrate:
+            self.sow("quant_calib", "a_in",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))))
         x = nn.Dense(self.hidden_dim, name="fc1", dtype=self.dtype)(x)
         x = self.act(x)
+        if self.calibrate:
+            self.sow("quant_calib", "a_mid",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))))
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = nn.Dense(out_dim, name="fc2", dtype=self.dtype)(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -83,6 +83,11 @@ class DinoV2Salad(nn.Module):
     sinkhorn_iters: int = 3
     use_pallas: bool = True
     remat: bool = False
+    # w8a8 serving path (inference only) / its calibration pass —
+    # see geovpr/models/quantize.py
+    int8_mlp: bool = False
+    int8_attn: bool = False
+    calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -95,7 +100,8 @@ class DinoV2Salad(nn.Module):
         backbone = DinoV2(**DINOV2_VARIANTS[self.variant],
                           image_size=self.image_size, name="backbone",
                           use_pallas=self.use_pallas, remat=self.remat,
-                          dtype=self.dtype)
+                          int8_mlp=self.int8_mlp, int8_attn=self.int8_attn,
+                          calibrate=self.calibrate, dtype=self.dtype)
         out = backbone(x, train=train, deterministic=deterministic)
         desc = SaladHead(
             num_clusters=self.num_clusters, cluster_dim=self.cluster_dim,

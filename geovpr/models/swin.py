@@ -147,6 +147,9 @@ class SwinBlock(nn.Module):
     shift: int
     drop_path: float = 0.0
     use_pallas: bool = True
+    # w8a8 serving path / its calibration pass (geovpr/models/quantize.py)
+    int8_mlp: bool = False
+    calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -185,7 +188,8 @@ class SwinBlock(nn.Module):
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
 
         y = nn.LayerNorm(epsilon=LN_EPS, name="norm2", dtype=self.dtype)(x)
-        y = Mlp(hidden_dim=4 * self.dim, name="mlp", dtype=self.dtype)(
+        y = Mlp(hidden_dim=4 * self.dim, name="mlp", dtype=self.dtype,
+                int8=self.int8_mlp, calibrate=self.calibrate)(
             y, deterministic=deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 
@@ -226,6 +230,9 @@ class SwinTransformer(nn.Module):
     # rematerialize blocks on backward — Swin-B-384's stage-1 activations
     # (9216 tokens) dominate memory; remat trades FLOPs for per-chip batch
     remat: bool = False
+    # w8a8 MLP serving path (inference only) / its calibration pass
+    int8_mlp: bool = False
+    calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -261,6 +268,7 @@ class SwinTransformer(nn.Module):
                     window=min(self.window_size, res), shift=shift,
                     drop_path=float(dprates[block_i]),
                     use_pallas=self.use_pallas,
+                    int8_mlp=self.int8_mlp, calibrate=self.calibrate,
                     name=f"stage{stage_i}_block{layer_i}",
                     dtype=self.dtype)(x, deterministic)
                 block_i += 1

@@ -72,12 +72,17 @@ def _v3_fast_path(n: int, np_: int, num_heads: int, bb: int, width: int,
 
 
 def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,
-                           num_heads: int, na: int):
+                           num_heads: int, na: int,
+                           quantize_out: bool = False):
     """The shared key-split + exp2 + deferred-norm + stage-split attention
     core of the v3 kernels. `qf` (M, D) must already have the softmax
     scale x log2(e) folded into it; `kv` is the (M, 2D) k|v column block.
     Writes per-head context for `rows` into ctx_ref. Pure Python helper:
-    traces/unrolls identically to inlined code, zero runtime cost."""
+    traces/unrolls identically to inlined code, zero runtime cost.
+
+    `quantize_out`: round/clip the f32 context to int8 before the store
+    (the int8 serving kernel pre-scales v by 1/a_ctx, so the context
+    arrives already in quantized units)."""
     ss, sbs = [], []
     for h in range(num_heads):          # stage 1: all score matmuls
         q = qf[rows, h * dh:(h + 1) * dh]
@@ -101,6 +106,8 @@ def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,
         o = jnp.dot(ps[h].astype(v.dtype), v[:na],
                     preferred_element_type=jnp.float32)
         o = (o + pbs[h] * v[na:na + 1].astype(jnp.float32)) / zs[h]
+        if quantize_out:
+            o = jnp.clip(jnp.round(o), -127, 127)
         ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
 
 
@@ -227,6 +234,120 @@ def _mhsa_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     out = out + bo_ref[:].astype(jnp.float32)
     out = out * gamma_ref[:].astype(jnp.float32) + x_raw.astype(jnp.float32)
     o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _mhsa_kernel_v3_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref,
+                         sqkv_ref, bqkv_ref, wo_q_ref, so_ref, bo_ref,
+                         gamma_ref, o_ref, ctx_ref,
+                         *, num_heads: int, n_valid: int, bb: int,
+                         ln_eps: float):
+    """w8a8 serving variant of `_mhsa_kernel_v3`: the qkv and out
+    projections run int8 x int8 -> int32 on the MXU (slope-measured 363.7
+    vs bf16's 176.4 TOP/s at these exact shapes); the attention core stays
+    bf16. Static activation scales are pre-folded by the caller
+    (`fused_mhsa_block_int8`):
+
+    - 1/a_x into the LN scale/bias, so the post-LN quantize is just
+      round/clip/cast;
+    - a_x * per-column weight scale into `sqkv`, with the v third further
+      scaled by 1/a_ctx so the attention context comes out of the pv
+      matmuls already in quantized units (one round/clip, no multiply);
+    - a_ctx * wo column scale into `so`.
+
+    ctx scratch is int8 (feeds the second int8 matmul directly).
+    """
+    m, d = x_ref.shape
+    np_ = m // bb
+    dh = d // num_heads
+    na = n_valid - 1
+
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mu) * jax.lax.rsqrt(var + ln_eps)
+    xq = jnp.clip(jnp.round(normed * ln_scale_ref[:].astype(jnp.float32)
+                            + ln_bias_ref[:].astype(jnp.float32)),
+                  -127, 127).astype(jnp.int8)
+
+    yi = jax.lax.dot(xq, wqkv_q_ref[:], preferred_element_type=jnp.int32)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+    srow = jnp.where(col3 < d, dh ** -0.5 * _LOG2E, 1.0)
+    qkv = ((yi.astype(jnp.float32) * sqkv_ref[:]
+            + bqkv_ref[:]) * srow).astype(jnp.bfloat16)
+
+    for e in range(bb):
+        rows = slice(e * np_, (e + 1) * np_)
+        _stage_split_attention(qkv[:, :d], qkv[:, d:], ctx_ref, rows=rows,
+                               d=d, dh=dh, num_heads=num_heads, na=na,
+                               quantize_out=True)
+
+    yo = jax.lax.dot(ctx_ref[:], wo_q_ref[:],
+                     preferred_element_type=jnp.int32)
+    out = yo.astype(jnp.float32) * so_ref[:] + bo_ref[:].astype(jnp.float32)
+    out = out * gamma_ref[:].astype(jnp.float32) + xf
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
+                          ln_bias_q: jax.Array, wqkv_q: jax.Array,
+                          sqkv_eff: jax.Array, bqkv_eff: jax.Array,
+                          wo_q: jax.Array, so_eff: jax.Array, bo: jax.Array,
+                          gamma: jax.Array, num_heads: int,
+                          block_batch: int = 2,
+                          ln_eps: float = 1e-6) -> jax.Array | None:
+    """Serving-only (no VJP) w8a8 fused attention block. Arguments carry
+    PRE-FOLDED static scales — see `_mhsa_kernel_v3_int8` and the fold in
+    `geovpr/models/dinov2.py` (DinoV2Block). Returns None when the v3
+    fast-path conditions don't hold (caller falls back to the XLA int8
+    path); only the key-split layout is worth quantizing."""
+    b, n, d = x.shape
+    np_ = -(-n // 16) * 16
+    bb = block_batch
+    while b % bb != 0:
+        bb //= 2
+    compiler_params = _v3_fast_path(n, np_, num_heads, bb, n - 1,
+                                    jnp.bfloat16)
+    if compiler_params is None:
+        return None
+    if np_ != n:
+        x = jnp.pad(x, [(0, 0), (0, np_ - n), (0, 0)])
+    xf = x.reshape(b * np_, d)
+
+    kernel = functools.partial(_mhsa_kernel_v3_int8, num_heads=num_heads,
+                               n_valid=n, bb=bb, ln_eps=ln_eps)
+    whole = lambda i: (0, 0)
+    vec = lambda i: (0,)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * np_, d), x.dtype),
+        grid=(b // bb,),
+        in_specs=[
+            pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bb * np_, d), jnp.int8)],
+        compiler_params=compiler_params,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * np_ * d * 4 * d
+            + 4 * b * num_heads * np_ * np_ * (d // num_heads),
+            bytes_accessed=2 * b * np_ * d * x.dtype.itemsize,
+            transcendentals=b * num_heads * np_ * np_),
+    )(xf, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
+      bo, gamma)
+    out = out.reshape(b, np_, d)
+    return jax.lax.stop_gradient(out[:, :n, :] if np_ != n else out)
 
 
 def _mhsa_train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,

@@ -1,0 +1,51 @@
+"""w8a8 int8 quantization primitives for the serving path.
+
+The v5e MXU runs int8 at ~353 TOP/s vs ~187 TFLOP/s bf16 (slope-measured,
+(16384,4096)x(4096,4096) — see docs/DESIGN.md; round 1's "int8 is slower"
+verdict was a flat-timing artifact). That makes w8a8 matmuls the only way
+past the bf16 roofline for descriptor extraction.
+
+Scheme (standard static post-training quantization):
+- weights: symmetric per-out-channel int8, quantized once offline
+  (`quantize_weight`);
+- activations: symmetric per-tensor int8 with STATIC scales calibrated on
+  sample batches — dynamic (per-batch amax) scales cost two extra full
+  passes over the activations and were measured to eat 60% of the matmul
+  win (3.13 vs 2.34 ms/layer at DINOv2-B MLP shapes).
+
+Accuracy at DINOv2-B MLP shapes: max relative error vs f32 ~1.1e-2 versus
+bf16's ~2.8e-3 — acceptable for retrieval descriptors (quantified on the
+full model in `bench.py --int8`'s cosine report), NOT for training.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_weight(w) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(in, out) float kernel -> (int8 kernel, (out,) f32 scale)."""
+    w = np.asarray(w, np.float32)
+    scale = np.abs(w).max(axis=0) / 127.0 + 1e-12
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(scale.astype(np.float32))
+
+
+def quantize_act(x: jax.Array, a_scale: jax.Array) -> jax.Array:
+    """f32 activations -> int8 with a static per-tensor scale. The
+    round/clip/cast chain fuses into the producer's epilogue under XLA."""
+    return jnp.clip(jnp.round(x * (1.0 / a_scale)), -127, 127
+                    ).astype(jnp.int8)
+
+
+def int8_dense(x: jax.Array, a_scale: jax.Array, wq: jax.Array,
+               w_scale: jax.Array, bias: jax.Array) -> jax.Array:
+    """w8a8 matmul: f32 in -> int8 x int8 -> int32 -> dequantized f32 out.
+
+    x: (M, in) f32; wq: (in, out) int8; w_scale: (out,); bias: (out,).
+    """
+    xq = quantize_act(x, a_scale)
+    yi = jax.lax.dot(xq, wq, preferred_element_type=jnp.int32)
+    return yi.astype(jnp.float32) * (a_scale * w_scale) + bias

@@ -211,6 +211,25 @@ class TestRetrieveCli:
             "q_000.jpg", "q_001.jpg", "q_002.jpg"}
 
 
+    def test_end_to_end_int8(self, tmp_path, capsys):
+        """--int8 serving path: calibrates on the first gallery batch and
+        produces the same shaped outputs (fidelity itself is covered by
+        tests/test_quant.py)."""
+        import json
+        from geovpr.cli.retrieve import main
+
+        root = str(tmp_path)
+        img_dir = self._write_dataset(root, n_gallery=6, n_query=2)
+        main(["--gallery-csv", os.path.join(root, "gallery.csv"),
+              "--query-csv", os.path.join(root, "query.csv"),
+              "--image-root", img_dir,
+              "--out-dir", os.path.join(root, "out"),
+              "--variant", "small-14", "--image-size", "28",
+              "--batch-size", "4", "--top-k", "2", "--int8"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["gallery_size"] == 6 and out["num_queries"] == 2
+
+
 class TestFuseCli:
     def test_requires_a_head(self, tmp_path):
         from geovpr.cli.fuse import main

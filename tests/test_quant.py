@@ -1,0 +1,150 @@
+"""w8a8 serving-path quantization (geovpr/ops/quant.py,
+geovpr/models/quantize.py, Mlp int8/calibrate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geovpr.models.layers import Mlp
+from geovpr.models.quantize import quantize_for_serving
+from geovpr.models.salad import DinoV2Salad
+from geovpr.ops.quant import int8_dense, quantize_weight
+
+
+class TestQuantPrimitives:
+    def test_weight_roundtrip(self, rng):
+        w = rng.normal(size=(64, 32)).astype(np.float32) * 0.1
+        wq, s = quantize_weight(w)
+        assert wq.dtype == jnp.int8 and s.shape == (32,)
+        back = np.asarray(wq, np.float32) * np.asarray(s)
+        # per-out-channel symmetric: worst-case error is half a step
+        step = np.asarray(s)
+        assert (np.abs(back - w) <= 0.5 * step[None, :] + 1e-7).all()
+
+    def test_int8_dense_matches_f32(self, rng):
+        x = rng.normal(size=(16, 64)).astype(np.float32)
+        w = rng.normal(size=(64, 32)).astype(np.float32) * 0.1
+        b = rng.normal(size=(32,)).astype(np.float32) * 0.01
+        wq, ws = quantize_weight(w)
+        a_scale = jnp.float32(np.abs(x).max() / 127.0)
+        got = np.asarray(int8_dense(jnp.asarray(x), a_scale, wq, ws,
+                                    jnp.asarray(b)))
+        want = x @ w + b
+        # int8 x int8 with 64-deep accumulation: ~1% relative
+        assert np.abs(got - want).max() <= 0.03 * np.abs(want).max()
+
+
+class TestMlpInt8:
+    def test_quantized_forward_close_to_f32(self, rng):
+        model = Mlp(hidden_dim=64, out_dim=16, int8=True)
+        x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        assert "quant" in variables            # declared at init (zeros)
+
+        variables = quantize_for_serving(
+            # Mlp itself has the int8/calibrate fields -> clone works
+            model, {"params": variables["params"]}, [x])
+        got = np.asarray(model.apply(variables, x))
+        want = np.asarray(
+            model.clone(int8=False).apply(
+                {"params": variables["params"]}, x))
+        assert np.abs(got - want).max() <= 0.05 * (np.abs(want).max() + 1e-6)
+
+    def test_calibrate_flag_sows_amax(self, rng):
+        model = Mlp(hidden_dim=8, calibrate=True)
+        x = jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        _, st = model.apply({"params": variables["params"]}, x,
+                            mutable=["quant_calib"])
+        leaves = st["quant_calib"]
+        assert "a_in" in leaves and "a_mid" in leaves
+        np.testing.assert_allclose(np.asarray(leaves["a_in"][0]),
+                                   np.abs(np.asarray(x)).max(), rtol=1e-6)
+
+    def test_int8_off_leaves_variables_unchanged(self, rng):
+        """int8=False (the training default) must not add any collection —
+        checkpoint trees stay identical to round-1 models."""
+        model = Mlp(hidden_dim=8)
+        x = jnp.zeros((2, 4))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        assert set(variables) == {"params"}
+
+
+class TestDinoV2SaladInt8:
+    def test_end_to_end_descriptor_fidelity(self, rng):
+        model = DinoV2Salad(variant="small-14", image_size=28,
+                            num_clusters=8, cluster_dim=16, token_dim=16,
+                            int8_mlp=True)
+        x = jnp.asarray(rng.normal(size=(2, 28, 28, 3)).astype(np.float32))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        variables = quantize_for_serving(
+            model, {"params": variables["params"]}, [x])
+        d_q = np.asarray(model.apply(variables, x).pooled, np.float32)
+        d_f = np.asarray(
+            model.clone(int8_mlp=False).apply(
+                {"params": variables["params"]}, x).pooled, np.float32)
+        cos = (d_q * d_f).sum(-1) / (
+            np.linalg.norm(d_q, axis=-1) * np.linalg.norm(d_f, axis=-1))
+        assert cos.min() > 0.995, cos
+
+    def test_quant_collection_structure(self, rng):
+        model = DinoV2Salad(variant="small-14", image_size=28,
+                            num_clusters=8, cluster_dim=16, token_dim=16,
+                            int8_mlp=True)
+        x = jnp.zeros((1, 28, 28, 3))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        out = quantize_for_serving(
+            model, {"params": variables["params"]}, [jnp.ones_like(x)])
+        q = out["quant"]["backbone"]
+        assert set(q) == {f"block{i}" for i in range(12)}
+        b0 = q["block0"]["mlp"]
+        assert b0["fc1_kernel_q"].dtype == jnp.int8
+        assert b0["fc1_kernel_q"].shape == (384, 4 * 384)
+        assert float(b0["a_in_scale"]) > 0
+
+    def test_int8_attn_descriptor_fidelity(self, rng):
+        """w8a8 attention projections (XLA fallback path on CPU) on top of
+        the int8 MLPs — the full serving configuration."""
+        model = DinoV2Salad(variant="small-14", image_size=28,
+                            num_clusters=8, cluster_dim=16, token_dim=16,
+                            int8_mlp=True, int8_attn=True)
+        x = jnp.asarray(rng.normal(size=(2, 28, 28, 3)).astype(np.float32))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        variables = quantize_for_serving(
+            model, {"params": variables["params"]}, [x])
+        q = variables["quant"]["backbone"]["block0"]
+        assert q["attn_wqkv_q"].dtype == jnp.int8
+        assert q["attn_wqkv_q"].shape == (384, 3 * 384)
+        assert float(q["attn_a_ctx"]) > 0
+        d_q = np.asarray(model.apply(variables, x).pooled, np.float32)
+        d_f = np.asarray(
+            model.clone(int8_mlp=False, int8_attn=False).apply(
+                {"params": variables["params"]}, x).pooled, np.float32)
+        cos = (d_q * d_f).sum(-1) / (
+            np.linalg.norm(d_q, axis=-1) * np.linalg.norm(d_f, axis=-1))
+        assert cos.min() > 0.99, cos
+
+    def test_swin_int8_forward_close(self, rng):
+        """int8_mlp threads through Swin too (every backbone sharing Mlp)."""
+        from geovpr.models.swin import SwinTransformer
+
+        model = SwinTransformer(embed_dim=32, depths=(1, 1),
+                                num_heads=(2, 4), window_size=4,
+                                image_size=32, patch_size=4,
+                                use_pallas=False, int8_mlp=True)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        variables = quantize_for_serving(
+            model, {"params": variables["params"]}, [x])
+        got = np.asarray(model.apply(variables, x).pooled, np.float32)
+        want = np.asarray(
+            model.clone(int8_mlp=False).apply(
+                {"params": variables["params"]}, x).pooled, np.float32)
+        assert np.abs(got - want).max() <= 0.05 * (np.abs(want).max() + 1e-6)
+
+    def test_missing_calibration_raises(self):
+        model = DinoV2Salad(variant="small-14", image_size=28,
+                            num_clusters=8, cluster_dim=16, token_dim=16)
+        with pytest.raises(ValueError):
+            quantize_for_serving(model, {"params": {}}, [])
