@@ -63,6 +63,10 @@ def main(argv=None):
     p.add_argument("--salad-variant", default="base-14")
     p.add_argument("--salad-image-size", type=int, default=224)
     p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 serving path for the retrieval component "
+                        "(static scales calibrated on the first gallery "
+                        "batch; ~0.999 descriptor cosine vs bf16)")
     args = p.parse_args(argv)
 
     geo = bool(args.geopose_preset and args.geopose_run)
@@ -127,6 +131,7 @@ def main(argv=None):
 
         model = DinoV2Salad(variant=args.salad_variant,
                             image_size=args.salad_image_size,
+                            int8_mlp=args.int8, int8_attn=args.int8,
                             dtype=(jnp.bfloat16
                                    if jax.default_backend() == "tpu"
                                    else jnp.float32))
@@ -146,6 +151,15 @@ def main(argv=None):
                                      targets=np.asarray(gallery.latlon),
                                      image_size=args.salad_image_size,
                                      filenames=gallery.filenames)
+        if args.int8:
+            from geovpr.data.pipeline import iterate_batches
+            from geovpr.data.transforms import normalize
+            from geovpr.models.quantize import quantize_for_serving
+
+            batch = next(iter(iterate_batches(g_source,
+                                              args.batch_size or 64)))
+            variables = quantize_for_serving(
+                model, variables, [normalize(jnp.asarray(batch["image"]))])
         g_desc = extract_descriptors(model, variables, g_source,
                                      batch_size=args.batch_size or 64,
                                      mesh=mesh)

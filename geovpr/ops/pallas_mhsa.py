@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LOG2E = math.log2(math.e)
+# schedule-steering knob for the stage-split kernels (see _v3_fast_path
+# docstring: the e2e sweep is sharply non-monotone, 28 MB is the measured
+# optimum for the bf16 12-layer model). Env override for re-tuning sweeps.
+_VMEM_LIMIT_MB = int(os.environ.get("GEOVPR_MHSA_VMEM_MB", "28"))
 
 
 def _v3_fast_path(n: int, np_: int, num_heads: int, bb: int, width: int,
@@ -67,8 +72,9 @@ def _v3_fast_path(n: int, np_: int, num_heads: int, bb: int, width: int,
         return None
     if plane_bytes > 14 * 1024 * 1024:
         return None
-    return pltpu.CompilerParams(dimension_semantics=("parallel",),
-                                vmem_limit_bytes=28 * 1024 * 1024)
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel",),
+        vmem_limit_bytes=_VMEM_LIMIT_MB * 1024 * 1024)
 
 
 def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,

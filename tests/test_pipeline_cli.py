@@ -410,3 +410,32 @@ class TestFuseCliRetrieval:
         assert len(rows) == 4 * 2
         assert set(r["query_filename"] for r in rows) == {
             f"t_{i:02d}.jpg" for i in range(4)}
+
+    def test_retrieval_only_fuse_int8(self, tmp_path, capsys):
+        """--int8 on the fused retrieval component: calibrate on the first
+        gallery batch, quantized gallery+query descriptors end-to-end."""
+        import json
+        from geovpr.cli.fuse import main
+
+        root = str(tmp_path)
+        img_dir = TestRetrieveCli()._write_dataset(root, n_gallery=6,
+                                                   n_query=0)
+        test_dir = os.path.join(root, "test")
+        os.makedirs(test_dir)
+        from PIL import Image
+        rng = np.random.default_rng(3)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3))
+                            .astype(np.uint8)).save(
+                os.path.join(test_dir, f"t_{i:02d}.jpg"))
+
+        main(["--test-dir", test_dir,
+              "--gallery-csv", os.path.join(root, "gallery.csv"),
+              "--image-root", img_dir,
+              "--salad-variant", "small-14", "--salad-image-size", "28",
+              "--top-k", "2", "--batch-size", "4", "--int8",
+              "--out-dir", os.path.join(root, "out")])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        with open(out["retrieval_csv"], newline="") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 3 * 2
