@@ -159,10 +159,16 @@ class DinoV2Block(nn.Module):
     def _mlp_half(self, x, deterministic):
         d = self.dim
         n2_scale, n2_bias = PScaleBias(d, name="norm2")()
+        mlp = Mlp(hidden_dim=4 * d, name="mlp", dtype=self.dtype,
+                  int8=self.int8_mlp, calibrate=self.calibrate)
+        if self.int8_mlp and not self.is_initializing():
+            # whole LN -> int8 MLP -> LayerScale -> +residual block in one
+            # fused op (Pallas on TPU, identical XLA arithmetic elsewhere)
+            gamma2 = self.param_child_ls("ls2")
+            return mlp(x, deterministic=deterministic,
+                       fused=(n2_scale, n2_bias, gamma2, LN_EPS))
         h = _layer_norm(x, n2_scale, n2_bias)
-        h = Mlp(hidden_dim=4 * d, name="mlp", dtype=self.dtype,
-                int8=self.int8_mlp, calibrate=self.calibrate)(
-            h, deterministic=deterministic)
+        h = mlp(h, deterministic=deterministic)
         gamma2 = self.param_child_ls("ls2")
         h = h * gamma2.astype(h.dtype)
         return x + DropPath(self.drop_path)(h, deterministic)

@@ -86,6 +86,12 @@ class Mlp(nn.Module):
       deterministic) and the activation runs tanh-GELU in f32 (erf f32
       costs ~2 ms/layer at DINOv2-B shapes, same tradeoff as gelu_fast
       in bf16).
+    - ``fused=(ln_scale, ln_bias, gamma, eps)`` (int8 only): the caller
+      passes the PRE-norm residual stream as ``x``; the whole
+      LN -> int8 MLP -> LayerScale -> +residual block runs as one Pallas
+      kernel on TPU (geovpr/ops/pallas_mlp.py — keeps the (M, 4D) hidden
+      activations in VMEM instead of an ~808 MB/layer HBM round trip), or
+      as arithmetic-identical XLA ops elsewhere.
     """
 
     hidden_dim: int
@@ -97,7 +103,8 @@ class Mlp(nn.Module):
     calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, deterministic: bool = True,
+                 fused=None) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
         in_dim = x.shape[-1]
         if self.int8:
@@ -126,18 +133,48 @@ class Mlp(nn.Module):
             }
             if not self.is_initializing():
                 from geovpr.ops.quant import int8_dense
+                a_in = q["a_in_scale"].value
+                a_mid = q["a_mid_scale"].value
+                residual = None
+                if fused is not None:
+                    ln_scale, ln_bias, gamma, eps = fused
+                    if jax.default_backend() == "tpu":
+                        from geovpr.ops.pallas_mlp import fused_mlp_block_int8
+                        return fused_mlp_block_int8(
+                            x, ln_scale.astype(jnp.float32) / a_in,
+                            ln_bias.astype(jnp.float32) / a_in,
+                            q["fc1_kernel_q"].value,
+                            a_in * q["fc1_kernel_scale"].value,
+                            q["fc1_bias"].value,
+                            q["fc2_kernel_q"].value,
+                            a_mid * q["fc2_kernel_scale"].value,
+                            q["fc2_bias"].value,
+                            gamma.astype(jnp.float32), 1.0 / a_mid,
+                            ln_eps=eps)
+                    # XLA fallback: same arithmetic, unfused
+                    residual = x
+                    xf = x.astype(jnp.float32)
+                    mu = jnp.mean(xf, axis=-1, keepdims=True)
+                    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+                    x = ((xf - mu) * jax.lax.rsqrt(var + eps)
+                         * ln_scale.astype(jnp.float32)
+                         + ln_bias.astype(jnp.float32))
                 lead = x.shape[:-1]
                 h = x.reshape(-1, in_dim).astype(jnp.float32)
-                h = int8_dense(h, q["a_in_scale"].value,
-                               q["fc1_kernel_q"].value,
+                h = int8_dense(h, a_in, q["fc1_kernel_q"].value,
                                q["fc1_kernel_scale"].value,
                                q["fc1_bias"].value)
                 h = nn.gelu(h, approximate=True)
-                h = int8_dense(h, q["a_mid_scale"].value,
-                               q["fc2_kernel_q"].value,
+                h = int8_dense(h, a_mid, q["fc2_kernel_q"].value,
                                q["fc2_kernel_scale"].value,
                                q["fc2_bias"].value)
-                return h.reshape(*lead, out_dim).astype(x.dtype)
+                out = h.reshape(*lead, out_dim)
+                if residual is not None:
+                    out = out * gamma.astype(jnp.float32) \
+                        + residual.astype(jnp.float32)
+                    out = jax.lax.stop_gradient(out)
+                return out.astype(residual.dtype if residual is not None
+                                  else x.dtype)
 
         if self.calibrate:
             self.sow("quant_calib", "a_in",
