@@ -98,6 +98,11 @@ class DinoV2Block(nn.Module):
     int8_mlp: bool = False
     int8_attn: bool = False
     calibrate: bool = False
+    # resident padding (int8 serving): the parent keeps the token stream
+    # padded to ceil16(serve_n_valid) rows across the whole block stack so
+    # the per-layer pad/slice copies around the attention kernel vanish;
+    # 0 = unpadded stream
+    serve_n_valid: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -203,9 +208,16 @@ class DinoV2Block(nn.Module):
             out = fused_mhsa_block_int8(
                 x.astype(jnp.bfloat16), ln_scale_q, ln_bias_q, wqkv_q,
                 sqkv_eff, bqkv_eff, wo_q, so_eff, bo, gamma,
-                num_heads=self.num_heads, ln_eps=LN_EPS)
+                num_heads=self.num_heads, ln_eps=LN_EPS,
+                n_valid=self.serve_n_valid or None)
             if out is not None:
                 return out.astype(x.dtype)
+        if self.serve_n_valid:
+            # the parent only pads when the kernel conditions hold — the
+            # XLA fallback below would attend to the pad keys
+            raise RuntimeError(
+                "resident-padded int8 serving requires the Pallas fast "
+                "path (TPU, n_valid=128k+1, bf16)")
 
         # XLA fallback (CPU tests, non-128k+1 shapes): same arithmetic in
         # plain exp-domain softmax
@@ -326,6 +338,27 @@ class DinoV2(nn.Module):
                             axis=1)
         x = x + pos.astype(self.dtype)
 
+        # resident padding for the int8 serving stack: pad the stream to the
+        # sublane quantum ONCE (zeros), run every block at the padded row
+        # count (both int8 kernels take n_valid / are row-local), slice once
+        # at the end — the per-layer pad/slice copies measured ~3.3 ms of
+        # the B=256 batch. Gated on the same conditions as the attention
+        # fast path so the kernel can never fall back to XLA mid-stack.
+        n = x.shape[1]
+        serve_n_valid = 0
+        if (self.int8_attn and self.int8_mlp and not self.calibrate
+                and not self.is_initializing()
+                and self.use_pallas and jax.default_backend() == "tpu"
+                and self.dtype == jnp.bfloat16
+                and n > 128 and (n - 1) % 128 == 0 and n % 16 != 0):
+            from geovpr.ops.pallas_mhsa import _v3_fast_path
+            np_ = -(-n // 16) * 16
+            bb = 2 if x.shape[0] % 2 == 0 else 1
+            if _v3_fast_path(n, np_, self.num_heads, bb, n - 1,
+                             jnp.bfloat16) is not None:
+                serve_n_valid = n
+                x = jnp.pad(x, [(0, 0), (0, np_ - n), (0, 0)])
+
         block_cls = (nn.remat(DinoV2Block, static_argnums=(2,))
                      if self.remat else DinoV2Block)
         for i in range(self.num_layers):
@@ -335,7 +368,11 @@ class DinoV2(nn.Module):
                           use_pallas=self.use_pallas,
                           int8_mlp=self.int8_mlp, int8_attn=self.int8_attn,
                           calibrate=self.calibrate,
+                          serve_n_valid=serve_n_valid,
                           name=f"block{i}", dtype=self.dtype)(x, deterministic)
+
+        if serve_n_valid:
+            x = x[:, :serve_n_valid, :]
 
         norm_scale, norm_bias = PScaleBias(self.hidden_size, name="norm")()
         x = _layer_norm(x, norm_scale, norm_bias)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -84,11 +85,18 @@ def quantize_for_serving(model, variables: dict,
     off = {name: False for name in ("int8_mlp", "int8_attn", "int8")
            if hasattr(model, name)}
     calib_model = model.clone(calibrate=True, **off)
+
+    # jitted: an eager apply dispatches hundreds of ops one-by-one, which
+    # costs minutes through a remote-device tunnel (measured 227 s for a
+    # 12-block backbone at B=8 vs ~60 s compile + <1 s run jitted)
+    @jax.jit
+    def _calib(v, images):
+        _, st = calib_model.apply(v, images, mutable=["quant_calib"])
+        return st["quant_calib"]
+
     amax: dict | None = None
     for images in calib_batches:
-        _, st = calib_model.apply(variables, images,
-                                  mutable=["quant_calib"])
-        tree = st["quant_calib"]
+        tree = jax.device_get(_calib(variables, images))
         amax = tree if amax is None else _merge_max(amax, tree)
     if amax is None:
         raise ValueError("calib_batches is empty")

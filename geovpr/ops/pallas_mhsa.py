@@ -300,15 +300,28 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
                           sqkv_eff: jax.Array, bqkv_eff: jax.Array,
                           wo_q: jax.Array, so_eff: jax.Array, bo: jax.Array,
                           gamma: jax.Array, num_heads: int,
-                          block_batch: int = 2,
-                          ln_eps: float = 1e-6) -> jax.Array | None:
+                          block_batch: int = 2, ln_eps: float = 1e-6,
+                          n_valid: int | None = None) -> jax.Array | None:
     """Serving-only (no VJP) w8a8 fused attention block. Arguments carry
     PRE-FOLDED static scales — see `_mhsa_kernel_v3_int8` and the fold in
     `geovpr/models/dinov2.py` (DinoV2Block). Returns None when the v3
     fast-path conditions don't hold (caller falls back to the XLA int8
-    path); only the key-split layout is worth quantizing."""
+    path); only the key-split layout is worth quantizing.
+
+    `n_valid`: resident-padding mode — the caller keeps the token stream
+    padded to the sublane quantum across the whole serving stack (the
+    per-layer pad/slice copies around this kernel measured ~3.3 ms of the
+    B=256 batch). x then arrives (B, ceil16(n_valid), D) and is returned
+    at the same padded shape; only the first n_valid rows are meaningful.
+    """
     b, n, d = x.shape
-    np_ = -(-n // 16) * 16
+    if n_valid is not None:
+        if n != -(-n_valid // 16) * 16:
+            raise ValueError(f"resident padding: got {n} rows for "
+                             f"n_valid={n_valid}")
+        np_, n = n, n_valid
+    else:
+        np_ = -(-n // 16) * 16
     bb = block_batch
     while b % bb != 0:
         bb //= 2
@@ -316,7 +329,7 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
                                     jnp.bfloat16)
     if compiler_params is None:
         return None
-    if np_ != n:
+    if np_ != n and n_valid is None:
         x = jnp.pad(x, [(0, 0), (0, np_ - n), (0, 0)])
     xf = x.reshape(b * np_, d)
 
@@ -353,6 +366,8 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
     )(xf, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
       bo, gamma)
     out = out.reshape(b, np_, d)
+    if n_valid is not None:
+        return jax.lax.stop_gradient(out)     # stays resident-padded
     return jax.lax.stop_gradient(out[:, :n, :] if np_ != n else out)
 
 
