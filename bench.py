@@ -304,11 +304,22 @@ def main():
                                (batch, size, size, 3), jnp.bfloat16)
     jax.device_get(run(variables, images))  # compile + warmup
 
+    # distinct inputs per rep, materialized BEFORE the clock starts —
+    # measurement hygiene against any replay/caching shortcut in the
+    # remote-device runtime (device_get already guards against the
+    # non-blocking block_until_ready, see above)
     reps = 2 if args.smoke else 3
+    rep_images = [
+        jax.random.normal(jax.random.PRNGKey(10 + r),
+                          (batch, size, size, 3), jnp.bfloat16)
+        for r in range(reps)
+    ]
+    for im in rep_images:
+        im.block_until_ready()
     times = []
-    for _ in range(reps):
+    for im in rep_images:
         t0 = time.perf_counter()
-        jax.device_get(run(variables, images))
+        jax.device_get(run(variables, im))
         times.append((time.perf_counter() - t0) / iters)
 
     best = min(times)

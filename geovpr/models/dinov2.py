@@ -126,8 +126,13 @@ class DinoV2Block(nn.Module):
                 )
             }
             if not self.is_initializing():
-                x = self._attention_int8(x, n1_scale, n1_bias, attn, gamma1,
-                                         qa)
+                # two kernels per block (attention, MLP) — a fused
+                # whole-block kernel was built and measured SLOWER
+                # (docs/DESIGN.md dead ends: the inter-kernel stream IO is
+                # already hidden under compute by Mosaic's grid pipelining)
+                attn_args = self._attn_int8_fold(n1_scale, n1_bias, attn,
+                                                 gamma1, qa)
+                x = self._attention_int8(x, attn_args)
                 return self._mlp_half(x, deterministic)
 
         # Pallas on both paths: inference 5.2 vs XLA 9.4 ms/layer; training
@@ -178,16 +183,15 @@ class DinoV2Block(nn.Module):
         h = h * gamma2.astype(h.dtype)
         return x + DropPath(self.drop_path)(h, deterministic)
 
-    def _attention_int8(self, x, n1_scale, n1_bias, attn, gamma1, qa):
-        """w8a8 attention projections with static pre-folded scales (see
+    def _attn_int8_fold(self, n1_scale, n1_bias, attn, gamma1, qa):
+        """Pre-fold the static int8 scales of the attention half (see
         geovpr/ops/quant.py for the scheme, _mhsa_kernel_v3_int8 for the
-        fold). Serving-only — wrapped in stop_gradient by the kernel; the
-        XLA fallback mirrors the kernel's numerics for CPU/odd shapes."""
+        fold) into the shared argument tuple consumed by
+        `fused_mhsa_block_int8` and the XLA
+        fallback in `_attention_int8`."""
         d = self.dim
         a_x = qa["attn_a_x"].value
         a_ctx = qa["attn_a_ctx"].value
-        wqkv_q = qa["attn_wqkv_q"].value
-        wo_q = qa["attn_wo_q"].value
         bqkv = jnp.concatenate(
             [attn["query"][1], attn["key"][1], attn["value"][1]]
         ).astype(jnp.float32)
@@ -195,13 +199,24 @@ class DinoV2Block(nn.Module):
         # attention context (a convex combination of v rows) then lands
         # directly in quantized units
         vmask = jnp.where(jnp.arange(3 * d) < 2 * d, 1.0, 1.0 / a_ctx)
-        sqkv_eff = a_x * qa["attn_wqkv_scale"].value * vmask
-        bqkv_eff = bqkv * vmask
-        so_eff = a_ctx * qa["attn_wo_scale"].value
-        ln_scale_q = (n1_scale.astype(jnp.float32) / a_x)
-        ln_bias_q = (n1_bias.astype(jnp.float32) / a_x)
-        bo = attn["proj"][1].astype(jnp.float32)
-        gamma = gamma1.astype(jnp.float32)
+        return (n1_scale.astype(jnp.float32) / a_x,
+                n1_bias.astype(jnp.float32) / a_x,
+                qa["attn_wqkv_q"].value,
+                a_x * qa["attn_wqkv_scale"].value * vmask,
+                bqkv * vmask,
+                qa["attn_wo_q"].value,
+                a_ctx * qa["attn_wo_scale"].value,
+                attn["proj"][1].astype(jnp.float32),
+                gamma1.astype(jnp.float32))
+
+    def _attention_int8(self, x, attn_args):
+        """w8a8 attention projections from pre-folded static scales
+        (`_attn_int8_fold`). Serving-only — wrapped in stop_gradient by
+        the kernel; the XLA fallback mirrors the kernel's numerics for
+        CPU/odd shapes."""
+        d = self.dim
+        (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
+         bo, gamma) = attn_args
 
         if self.use_pallas and jax.default_backend() == "tpu":
             from geovpr.ops.pallas_mhsa import fused_mhsa_block_int8

@@ -45,6 +45,18 @@ def _walk(calib: dict, params: dict, out: dict):
         out["fc2_kernel_scale"] = s2
         out["fc2_bias"] = jnp.asarray(params["fc2"]["bias"], jnp.float32)
         return
+    if "a_tokens" in calib:
+        # SALAD head scope: the two token-wide fc1 matmuls share one input
+        # (geovpr/models/salad.py SaladHead) and so one activation scale
+        a_t = float(np.max(np.asarray(calib["a_tokens"])))
+        out["a_tokens_scale"] = jnp.float32(a_t / 127.0 + 1e-12)
+        for prefix in ("feat_fc1", "score_fc1"):
+            wq, ws = quantize_weight(params[prefix]["kernel"])
+            out[f"{prefix}_kernel_q"] = wq
+            out[f"{prefix}_kernel_scale"] = ws
+            out[f"{prefix}_bias"] = jnp.asarray(params[prefix]["bias"],
+                                                jnp.float32)
+        return
     if "attn_x" in calib:
         # attention projections: qkv kernels concatenated column-wise in the
         # q|k|v order the fused kernel expects (pallas_mhsa)

@@ -37,6 +37,12 @@ class SaladHead(nn.Module):
     token_dim: int = 256
     hidden: int = 512
     sinkhorn_iters: int = 3
+    # w8a8 serving path for the two token-wide 768->hidden matmuls (95% of
+    # the head's FLOPs); both share the SAME input, so one activation
+    # scale/quantize feeds both int8 matmuls. fc2s, the CLS path, and
+    # Sinkhorn stay in bf16/f32 — small, and score precision feeds the OT.
+    int8: bool = False
+    calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -44,13 +50,56 @@ class SaladHead(nn.Module):
         """tokens: (B, N, C) patch features; cls: (B, C). -> (B, 8448)."""
         tokens = tokens.astype(self.dtype)
         cls = cls.astype(self.dtype)
+        b, n, c = tokens.shape
 
-        f = nn.Dense(self.hidden, name="feat_fc1", dtype=self.dtype)(tokens)
-        f = nn.relu(f)
+        if self.calibrate:
+            self.sow("quant_calib", "a_tokens",
+                     jnp.max(jnp.abs(tokens.astype(jnp.float32))))
+        if self.int8:
+            q = {
+                name: self.variable("quant", name, init, shape, dt)
+                for name, init, shape, dt in (
+                    ("a_tokens_scale", jnp.ones, (), jnp.float32),
+                    ("feat_fc1_kernel_q", jnp.zeros, (c, self.hidden),
+                     jnp.int8),
+                    ("feat_fc1_kernel_scale", jnp.ones, (self.hidden,),
+                     jnp.float32),
+                    ("feat_fc1_bias", jnp.zeros, (self.hidden,),
+                     jnp.float32),
+                    ("score_fc1_kernel_q", jnp.zeros, (c, self.hidden),
+                     jnp.int8),
+                    ("score_fc1_kernel_scale", jnp.ones, (self.hidden,),
+                     jnp.float32),
+                    ("score_fc1_bias", jnp.zeros, (self.hidden,),
+                     jnp.float32),
+                )
+            }
+        if self.int8 and not self.is_initializing():
+            from geovpr.ops.quant import quantize_act
+            a_t = q["a_tokens_scale"].value
+            xq = quantize_act(tokens.astype(jnp.float32).reshape(-1, c),
+                              a_t)
+
+            def fc1_q(prefix):
+                yi = jax.lax.dot(xq, q[f"{prefix}_kernel_q"].value,
+                                 preferred_element_type=jnp.int32)
+                y = (yi.astype(jnp.float32)
+                     * (a_t * q[f"{prefix}_kernel_scale"].value)
+                     + q[f"{prefix}_bias"].value)
+                return jax.lax.stop_gradient(
+                    jnp.maximum(y, 0.0).reshape(b, n, self.hidden)
+                    .astype(self.dtype))
+
+            f = fc1_q("feat_fc1")
+            s = fc1_q("score_fc1")
+        else:
+            f = nn.relu(
+                nn.Dense(self.hidden, name="feat_fc1",
+                         dtype=self.dtype)(tokens))
+            s = nn.relu(
+                nn.Dense(self.hidden, name="score_fc1",
+                         dtype=self.dtype)(tokens))
         f = nn.Dense(self.cluster_dim, name="feat_fc2", dtype=self.dtype)(f)
-
-        s = nn.Dense(self.hidden, name="score_fc1", dtype=self.dtype)(tokens)
-        s = nn.relu(s)
         s = nn.Dense(self.num_clusters, name="score_fc2", dtype=self.dtype)(s)
 
         t = nn.Dense(self.hidden, name="token_fc1", dtype=self.dtype)(cls)
@@ -106,5 +155,6 @@ class DinoV2Salad(nn.Module):
         desc = SaladHead(
             num_clusters=self.num_clusters, cluster_dim=self.cluster_dim,
             token_dim=self.token_dim, sinkhorn_iters=self.sinkhorn_iters,
+            int8=self.int8_mlp, calibrate=self.calibrate,
             name="salad", dtype=self.dtype)(out.tokens, out.cls)
         return BackboneOutput(pooled=desc, tokens=out.tokens, cls=out.cls)

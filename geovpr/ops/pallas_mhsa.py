@@ -39,6 +39,10 @@ _LOG2E = math.log2(math.e)
 # docstring: the e2e sweep is sharply non-monotone, 28 MB is the measured
 # optimum for the bf16 12-layer model). Env override for re-tuning sweeps.
 _VMEM_LIMIT_MB = int(os.environ.get("GEOVPR_MHSA_VMEM_MB", "28"))
+# serving softmax without the max-shift (see _stage_split_attention
+# `skip_max`) — overflow-safe via clamp, measured faster; env opt-out for
+# A/B remeasurement
+_SKIP_MAX = os.environ.get("GEOVPR_MHSA_SKIP_MAX", "1") == "1"
 
 
 def _v3_fast_path(n: int, np_: int, num_heads: int, bb: int, width: int,
@@ -79,7 +83,8 @@ def _v3_fast_path(n: int, np_: int, num_heads: int, bb: int, width: int,
 
 def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,
                            num_heads: int, na: int,
-                           quantize_out: bool = False):
+                           quantize_out: bool = False,
+                           skip_max: bool = False):
     """The shared key-split + exp2 + deferred-norm + stage-split attention
     core of the v3 kernels. `qf` (M, D) must already have the softmax
     scale x log2(e) folded into it; `kv` is the (M, 2D) k|v column block.
@@ -88,7 +93,17 @@ def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,
 
     `quantize_out`: round/clip the f32 context to int8 before the store
     (the int8 serving kernel pre-scales v by 1/a_ctx, so the context
-    arrives already in quantized units)."""
+    arrives already in quantized units).
+
+    `skip_max`: drop the max-subtraction from the softmax. The shift
+    exists only for overflow protection — exp2(s)/sum(exp2(s)) is
+    mathematically shift-invariant — and the per-head 256-lane max-reduce
+    + (NP, na) broadcast-subtract are pure VPU cost. A one-op elementwise
+    clamp at +100 (exp2(100) = 1.6e30; z <= 257 * 1.6e30 << f32 max)
+    provides the same protection; underflow of far-from-max scores is
+    harmless (those probabilities round to 0 anyway). Serving-only: the
+    training kernels keep the shift so saved residuals match the
+    backward's recompute exactly."""
     ss, sbs = [], []
     for h in range(num_heads):          # stage 1: all score matmuls
         q = qf[rows, h * dh:(h + 1) * dh]
@@ -101,9 +116,13 @@ def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,
             axis=-1, keepdims=True))
     ps, pbs, zs = [], [], []
     for h in range(num_heads):          # stage 2: all softmaxes (VPU)
-        mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
-        p = jnp.exp2(ss[h] - mx)
-        pb = jnp.exp2(sbs[h] - mx)
+        if skip_max:
+            p = jnp.exp2(jnp.minimum(ss[h], 100.0))
+            pb = jnp.exp2(jnp.minimum(sbs[h], 100.0))
+        else:
+            mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
+            p = jnp.exp2(ss[h] - mx)
+            pb = jnp.exp2(sbs[h] - mx)
         ps.append(p)
         pbs.append(pb)
         zs.append(jnp.sum(p, axis=-1, keepdims=True) + pb)
@@ -286,7 +305,7 @@ def _mhsa_kernel_v3_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref,
         rows = slice(e * np_, (e + 1) * np_)
         _stage_split_attention(qkv[:, :d], qkv[:, d:], ctx_ref, rows=rows,
                                d=d, dh=dh, num_heads=num_heads, na=na,
-                               quantize_out=True)
+                               quantize_out=True, skip_max=_SKIP_MAX)
 
     yo = jax.lax.dot(ctx_ref[:], wo_q_ref[:],
                      preferred_element_type=jnp.int32)

@@ -262,3 +262,105 @@ class TestFusedMhsaGrads:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+
+class TestFusedMhsaInt8:
+    """The w8a8 serving kernel (`fused_mhsa_block_int8`) only dispatches on
+    TPU in production (the model's XLA fallback covers CPU), so interpret
+    mode is the only portable check of the kernel body itself — including
+    the serving softmax without max-shift (`skip_max`)."""
+
+    def _case(self, rng, D):
+        f32 = lambda *s: jnp.asarray(rng.normal(size=s) * 0.1, jnp.float32)
+        i8 = lambda *s: jnp.asarray(rng.integers(-127, 128, s), jnp.int8)
+        return (f32(D) + 1.0, f32(D), i8(D, 3 * D),
+                jnp.abs(f32(3 * D)) * 2e-2 + 1e-3, f32(3 * D), i8(D, D),
+                jnp.abs(f32(D)) * 2e-2 + 1e-3, f32(D), f32(D))
+
+    @staticmethod
+    def _xla_ref(x, args, H):
+        """The same arithmetic as DinoV2Block._attention_int8's XLA
+        fallback (geovpr/models/dinov2.py), exp-domain softmax."""
+        (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
+         bo, gamma) = args
+        b, n, d = x.shape
+        dh = d // H
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+        xq = jnp.clip(jnp.round(normed * ln_scale_q + ln_bias_q),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.dot_general(
+            xq.reshape(-1, d), wqkv_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        qkv = (yi.astype(jnp.float32) * sqkv_eff + bqkv_eff
+               ).astype(jnp.bfloat16).reshape(b, n, 3 * d)
+
+        def heads(t):
+            return t.reshape(b, n, H, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k),
+                       preferred_element_type=jnp.float32) * dh ** -0.5
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b * n, d)
+        ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
+        yo = jax.lax.dot_general(ctxq, wo_q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        out = yo.astype(jnp.float32) * so_eff + bo
+        return (out.reshape(b, n, d) * gamma + xf).astype(x.dtype)
+
+    @pytest.mark.parametrize("skip_max", [False, True])
+    def test_kernel_matches_xla_fallback(self, monkeypatch, skip_max):
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        monkeypatch.setattr(m, "_SKIP_MAX", skip_max)
+
+        B, N, D, H = 2, 129, 16, 4
+        rng = np.random.default_rng(21)
+        x = jnp.asarray(rng.normal(size=(B, N, D)) * 0.5, jnp.float32)
+        args = self._case(rng, D)
+        got = m.fused_mhsa_block_int8(x, *args, num_heads=H)
+        assert got is not None
+        want = self._xla_ref(x, args, H)
+        # int8 projections are exact in both; differences come from the
+        # exp2-domain deferred-norm softmax and the bf16 p cast, amplified
+        # by the context round-to-int8 (a near-boundary flip moves one
+        # output element by one dequant step)
+        err = np.abs(np.asarray(got) - np.asarray(want))
+        step = np.asarray(args[6]) * np.asarray(args[8])  # so_eff * gamma
+        assert err.max() <= np.abs(step).max() * 1.5 + 1e-3, err.max()
+
+    @pytest.mark.parametrize("n_valid", [129])
+    def test_resident_padded_matches_unpadded(self, monkeypatch, n_valid):
+        """Resident-padding mode (n_valid) must agree with the self-padding
+        path on the valid rows."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = 2, n_valid, 16, 4
+        NP = -(-N // 16) * 16
+        rng = np.random.default_rng(22)
+        x = jnp.asarray(rng.normal(size=(B, N, D)) * 0.5, jnp.float32)
+        args = self._case(rng, D)
+        plain = m.fused_mhsa_block_int8(x, *args, num_heads=H)
+        xp = jnp.pad(x, [(0, 0), (0, NP - N), (0, 0)])
+        padded = m.fused_mhsa_block_int8(xp, *args, num_heads=H,
+                                         n_valid=N)
+        assert padded.shape == (B, NP, D)
+        np.testing.assert_array_equal(np.asarray(plain),
+                                      np.asarray(padded)[:, :N])
