@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from geovpr.models.backbone import BackboneOutput
+from geovpr.models.dinov2 import PDense, PScaleBias, _layer_norm
 from geovpr.models.layers import DropPath, Mlp
 from geovpr.ops import window_attention
 
@@ -104,39 +105,51 @@ def window_reverse(x: jax.Array, window: int, h: int, w: int) -> jax.Array:
     return x.reshape(b, h, w, c)
 
 
-class WindowAttention(nn.Module):
+class SwinAttnParams(nn.Module):
+    """Window-attention parameter holder with the same tree paths as the
+    former nn.Dense-based WindowAttention module (query/key/value/proj
+    each {kernel, bias}, plus the relative-position-bias table) — lets
+    SwinBlock feed ONE weight set to either the unfused XLA/window-kernel
+    path or the fused Pallas half-block kernel."""
+
     dim: int
     num_heads: int
     window: int
-    # set by SwinBlock: kernel on the deterministic TPU path only (the
-    # Pallas backward is an XLA recompute — a net loss for training)
-    use_pallas: bool = False
-    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
-        # x: (BW, N, C) window-partitioned tokens
-        bw, n, c = x.shape
-        head_dim = self.dim // self.num_heads
-        table = self.param(
+    def __call__(self):
+        p = {name: PDense(self.dim, self.dim, name=name)()
+             for name in ("query", "key", "value", "proj")}
+        p["table"] = self.param(
             "relative_position_bias_table",
             nn.initializers.zeros,
             ((2 * self.window - 1) ** 2, self.num_heads))
-        idx = relative_position_index(self.window)  # static numpy
-        bias = table[idx.reshape(-1)].reshape(n, n, self.num_heads)
-        bias = bias.transpose(2, 0, 1)  # (H, N, N)
+        return p
 
-        q = nn.Dense(self.dim, name="query", dtype=self.dtype)(x)
-        k = nn.Dense(self.dim, name="key", dtype=self.dtype)(x)
-        v = nn.Dense(self.dim, name="value", dtype=self.dtype)(x)
 
-        def heads(t):
-            return t.reshape(bw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+def _window_attn_apply(xw, attn, bias, mask, num_heads: int,
+                       use_pallas: bool, dtype) -> jax.Array:
+    """Unfused window attention from the shared params: q/k/v/out
+    projections as plain dots around the `window_attention` op (which
+    itself picks the Pallas window kernel or XLA einsum)."""
+    bw, n, c = xw.shape
+    dh = c // num_heads
 
-        out = window_attention(heads(q), heads(k), heads(v), bias, mask,
-                               use_pallas=self.use_pallas)
-        out = out.transpose(0, 2, 1, 3).reshape(bw, n, self.dim)
-        return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
+    def proj(t, kb):
+        kernel, b_ = kb
+        return (jnp.dot(t.astype(dtype), kernel.astype(dtype),
+                        preferred_element_type=jnp.float32)
+                + b_.astype(jnp.float32)).astype(dtype)
+
+    def heads(t):
+        return t.reshape(bw, n, num_heads, dh).transpose(0, 2, 1, 3)
+
+    q = heads(proj(xw, attn["query"]))
+    k = heads(proj(xw, attn["key"]))
+    v = heads(proj(xw, attn["value"]))
+    out = window_attention(q, k, v, bias, mask, use_pallas=use_pallas)
+    out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    return proj(out, attn["proj"])
 
 
 class SwinBlock(nn.Module):
@@ -157,18 +170,22 @@ class SwinBlock(nn.Module):
         # x: (B, L, C) with L = resolution^2
         b, l, c = x.shape
         h = w = self.resolution
+        n = self.window * self.window
+        nw = (h // self.window) * (w // self.window)
         shortcut = x
-        # Kernel on the deterministic (eval) path only: slope-measured at
-        # Swin-B-384 stage-2 shapes (BW=256, H=16, N=144, dh=32) the
-        # stage-split kernel runs 1.80 vs XLA's 2.50 ms. Its backward is an
-        # XLA recompute (no structured bwd), which makes it a net LOSS for
+        # Kernels on the deterministic (eval) path only: their backwards
+        # are XLA recomputes (no structured bwd) — a net LOSS for
         # training, so the train path keeps XLA attention.
         pallas_ok = (self.use_pallas and deterministic
                      and jax.default_backend() == "tpu")
-        x = nn.LayerNorm(epsilon=LN_EPS, name="norm1", dtype=self.dtype)(x)
-        x = x.reshape(b, h, w, c)
+
+        n1_scale, n1_bias = PScaleBias(c, name="norm1")()
+        attn = SwinAttnParams(self.dim, self.num_heads, self.window,
+                              name="attn")()
+        idx = relative_position_index(self.window)  # static numpy
+        bias = attn["table"][idx.reshape(-1)].reshape(n, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1)  # (H, N, N)
         if self.shift > 0:
-            x = jnp.roll(x, shift=(-self.shift, -self.shift), axis=(1, 2))
             # expand the (nW, N, N) additive mask on device from the tiny
             # (nW, N) label constant (see shifted_window_labels)
             labels = jnp.asarray(
@@ -177,20 +194,68 @@ class SwinBlock(nn.Module):
                              -100.0, 0.0).astype(jnp.float32)
         else:
             mask = None
-        xw = window_partition(x, self.window)
-        xw = WindowAttention(self.dim, self.num_heads, self.window,
-                             use_pallas=pallas_ok, name="attn",
-                             dtype=self.dtype)(xw, mask)
-        x = window_reverse(xw, self.window, h, w)
-        if self.shift > 0:
-            x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
-        x = x.reshape(b, l, c)
-        x = shortcut + DropPath(self.drop_path)(x, deterministic)
 
-        y = nn.LayerNorm(epsilon=LN_EPS, name="norm2", dtype=self.dtype)(x)
-        y = Mlp(hidden_dim=4 * self.dim, name="mlp", dtype=self.dtype,
-                int8=self.int8_mlp, calibrate=self.calibrate)(
-            y, deterministic=deterministic)
+        from geovpr.ops.pallas_swin_block import (
+            fused_swin_attn_block, swin_block_kernel_ok)
+        if (pallas_ok and not self.is_initializing()
+                and swin_block_kernel_ok(n, c, b * nw, self.num_heads)):
+            # fused half-block: LN1 -> qkv -> window attention -> proj ->
+            # +residual in ONE kernel (one read + one write of the token
+            # stream instead of ~25 elementwise/projection HBM passes at
+            # stage-0 shapes — see pallas_swin_block docstring). Residual
+            # lives inside the kernel; roll/partition commute with the
+            # per-token LN and the residual add, so fusing in rolled
+            # window space is exact.
+            xs = x.reshape(b, h, w, c)
+            if self.shift > 0:
+                xs = jnp.roll(xs, shift=(-self.shift, -self.shift),
+                              axis=(1, 2))
+            xw = window_partition(xs, self.window)
+            wqkv = jnp.concatenate(
+                [attn["query"][0], attn["key"][0], attn["value"][0]],
+                axis=1).astype(self.dtype)
+            bqkv = jnp.concatenate(
+                [attn["query"][1], attn["key"][1], attn["value"][1]])
+            ow = fused_swin_attn_block(
+                xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
+                attn["proj"][0].astype(self.dtype), attn["proj"][1],
+                bias, mask, self.num_heads, LN_EPS)
+            xs = window_reverse(ow, self.window, h, w)
+            if self.shift > 0:
+                xs = jnp.roll(xs, shift=(self.shift, self.shift),
+                              axis=(1, 2))
+            x = xs.reshape(b, l, c)
+        else:
+            x = _layer_norm(x, n1_scale, n1_bias, eps=LN_EPS)
+            x = x.reshape(b, h, w, c)
+            if self.shift > 0:
+                x = jnp.roll(x, shift=(-self.shift, -self.shift),
+                             axis=(1, 2))
+            xw = window_partition(x, self.window)
+            xw = _window_attn_apply(xw, attn, bias, mask, self.num_heads,
+                                    use_pallas=pallas_ok, dtype=self.dtype)
+            x = window_reverse(xw, self.window, h, w)
+            if self.shift > 0:
+                x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
+            x = x.reshape(b, l, c)
+            x = shortcut + DropPath(self.drop_path)(x, deterministic)
+
+        # norm2 as explicit scale/bias params (names match nn.LayerNorm, so
+        # checkpoints/converters are unchanged): the int8 serving path
+        # fuses LN -> int8 MLP -> +residual into one op (the Pallas MLP
+        # block kernel on TPU — keeps the (M, 4C) f32 hidden in VMEM; the
+        # identical XLA arithmetic elsewhere). Swin has no LayerScale, so
+        # gamma = ones.
+        n2_scale, n2_bias = PScaleBias(c, name="norm2")()
+        mlp = Mlp(hidden_dim=4 * self.dim, name="mlp", dtype=self.dtype,
+                  int8=self.int8_mlp, calibrate=self.calibrate)
+        if (self.int8_mlp and deterministic
+                and not self.is_initializing()):
+            return mlp(x, deterministic=True,
+                       fused=(n2_scale, n2_bias,
+                              jnp.ones((c,), jnp.float32), LN_EPS))
+        y = _layer_norm(x, n2_scale, n2_bias, eps=LN_EPS)
+        y = mlp(y, deterministic=deterministic)
         return x + DropPath(self.drop_path)(y, deterministic)
 
 

@@ -1,0 +1,276 @@
+"""Pallas TPU fused Swin attention half-block.
+
+One grid program = `wb` windows of the partitioned token stream. Per
+program, entirely in VMEM:
+
+    xw (wb*N, C) -> LN(norm1) -> @ Wqkv (C, 3C)        [one MXU matmul]
+    per (window, head): softmax(q k^T * scale + rel_bias [+ shift_mask]) v
+    concat heads @ Wo + bo + xw                        [one MXU matmul]
+
+Motivation (profile at Swin-B-384 B=64, docs/DESIGN.md): stage0/1 blocks
+run ~7x off the matmul roofline — at C=128 the per-block HBM bill is ~25
+full passes over a 151 MB activation (LN, three separate q/k/v Dense
+reads, head split/merge transposes, proj, residual), while the matmul
+work is ~1.4 ms. This kernel reads the stream once and writes it once;
+everything between lives in VMEM. The reference runs this attention as
+cuDNN dense attention inside HF `SwinModel`
+(`swin_transformer/swin_attempt_2.py:117`).
+
+Same measured kernel recipe as `pallas_mhsa._mhsa_kernel_v3`:
+bf16 operands with f32 MXU accumulation, exp2-domain softmax with
+scale x log2(e) folded into the q columns, clamp-guarded no-max softmax
+on the serving path, and the stage-split (window, head) loop — all score
+matmuls, then all softmax chains, then all pv matmuls — so Mosaic
+overlaps the independent MXU and VPU streams.
+
+Differences from the ViT kernel:
+- relative-position bias (H*N, N) and the shifted-window mask are added
+  in the log2 domain; both arrive PRE-SCALED by log2(e) (one tiny XLA
+  multiply outside — they are per-layer constants, not per-token data);
+- the shift mask has period nW windows; it stays RESIDENT in VMEM as one
+  (nW*N, N) block and each window slices its rows dynamically
+  (`pl.ds` at multiples of N) — re-fetching (wb*N, N) mask slabs per
+  program would re-read the mask from HBM thousands of times per layer;
+- no CLS key-split (windows are exactly N tokens) and no LayerScale
+  (Swin has none).
+
+Autodiff: forward runs the kernel; backward re-derives gradients from
+the XLA reference (`_swin_attn_block_xla`) — the production train path
+uses the unfused XLA attention anyway (see SwinBlock), this VJP exists
+so a differentiated eval graph stays correct rather than silently
+returning zeros.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from geovpr.ops.pallas_window_attention import _SKIP_MAX
+
+_LOG2E = math.log2(math.e)
+# live f32 score+probability planes per program (stage-split keeps all
+# wb*H of them); budget steers the windows-per-program choice
+_PLANE_BUDGET = 8 * 1024 * 1024
+
+
+def pick_windows_per_program(bw: int, n: int, num_heads: int) -> int:
+    """Largest wb in {8,4,2,1} dividing BW whose live score planes fit."""
+    for wb in (8, 4, 2, 1):
+        if bw % wb == 0 and 2 * wb * num_heads * n * n * 4 <= _PLANE_BUDGET:
+            return wb
+    return 0
+
+
+def swin_block_kernel_ok(n: int, c: int, bw: int, num_heads: int) -> bool:
+    """Eligibility for the fused kernel: sublane-aligned windows (N=144
+    for window 12; window-7's N=49 falls back to the unfused path),
+    lane-aligned channels, and a feasible windows-per-program choice."""
+    return (n % 16 == 0 and c % 128 == 0
+            and pick_windows_per_program(bw, n, num_heads) > 0)
+
+
+def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
+            wo_ref, bo_ref, bias_ref, mask_ref, o_ref, ctx_ref,
+            *, num_heads: int, n: int, wb: int, nw: int, scale: float,
+            ln_eps: float, has_mask: bool):
+    m, d = x_ref.shape              # (wb*n, C)
+    dh = d // num_heads
+
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    x = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+         * ln_scale_ref[:].astype(jnp.float32)
+         + ln_bias_ref[:].astype(jnp.float32)).astype(x_raw.dtype)
+
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    # fold softmax scale + exp->exp2 change of base into the q columns
+    # while f32 (folding into bf16 weights would re-round them)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+    srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
+    qkv = ((qkv + bqkv_ref[:].astype(jnp.float32)) * srow).astype(x.dtype)
+
+    pid = pl.program_id(0)
+    ss = []
+    for w in range(wb):                     # stage 1: all score matmuls
+        rows = slice(w * n, (w + 1) * n)
+        for h in range(num_heads):
+            lanes = slice(h * dh, (h + 1) * dh)
+            ss.append(jax.lax.dot_general(
+                qkv[rows, lanes], qkv[rows, d + h * dh:d + (h + 1) * dh],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    ps = []
+    i = 0
+    for w in range(wb):                     # stage 2: all softmaxes (VPU)
+        if has_mask:
+            off = ((pid * wb + w) % nw) * n
+            m_w = mask_ref[pl.ds(off, n), :]    # pre-scaled by log2(e)
+        for h in range(num_heads):
+            s = ss[i] + bias_ref[h * n:(h + 1) * n, :]
+            if has_mask:
+                s = s + m_w
+            if _SKIP_MAX:
+                p = jnp.exp2(jnp.minimum(s, 100.0))
+            else:
+                p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+            ps.append((p, jnp.sum(p, axis=-1, keepdims=True)))
+            i += 1
+    i = 0
+    for w in range(wb):                     # stage 3: all pv matmuls
+        rows = slice(w * n, (w + 1) * n)
+        for h in range(num_heads):
+            lanes = slice(h * dh, (h + 1) * dh)
+            v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
+            p, z = ps[i]
+            o = jnp.dot(p.astype(v.dtype), v,
+                        preferred_element_type=jnp.float32) / z
+            ctx_ref[rows, lanes] = o.astype(ctx_ref.dtype)
+            i += 1
+
+    out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
+    out = out + bo_ref[:].astype(jnp.float32) + xf
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                         bias, mask, num_heads: int, ln_eps: float):
+    """jnp reference of the fused half-block — numeric oracle for the
+    kernel and the recompute target of its backward. bias (H, N, N) and
+    mask (nW, N, N)|None arrive UNSCALED here (the log2e pre-scaling is
+    kernel-path plumbing)."""
+    bw, n, c = xw.shape
+    dh = c // num_heads
+    xf = xw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    h_ = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+          * ln_scale.astype(jnp.float32)
+          + ln_bias.astype(jnp.float32)).astype(xw.dtype)
+    qkv = (jnp.dot(h_, wqkv, preferred_element_type=jnp.float32)
+           + bqkv.astype(jnp.float32)).astype(xw.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(bw, n, num_heads, dh).transpose(0, 2, 1, 3)
+
+    s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k),
+                   preferred_element_type=jnp.float32) * dh ** -0.5
+    s = s + bias[None].astype(s.dtype)
+    if mask is not None:
+        nw = mask.shape[0]
+        s = s.reshape(bw // nw, nw, *s.shape[1:])
+        s = s + mask[None, :, None].astype(s.dtype)
+        s = s.reshape(bw, *s.shape[2:])
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), heads(v),
+                   preferred_element_type=jnp.float32)
+    o = o.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    out = (jnp.dot(o.astype(xw.dtype), wo,
+                   preferred_element_type=jnp.float32)
+           + bo.astype(jnp.float32))
+    return (out + xf).astype(xw.dtype)
+
+
+def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
+             num_heads: int, ln_eps: float):
+    bw, n, c = xw.shape
+    dh = c // num_heads
+    scale = dh ** -0.5
+    wb = pick_windows_per_program(bw, n, num_heads)
+    if wb == 0 or n % 16 != 0 or c % 128 != 0:
+        return _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv,
+                                    wo, bo, mask=mask, bias=bias,
+                                    num_heads=num_heads, ln_eps=ln_eps)
+
+    xf = xw.reshape(bw * n, c)
+    bias_f = (bias.astype(jnp.float32) * _LOG2E).reshape(num_heads * n, n)
+    has_mask = mask is not None
+    if has_mask:
+        nw = mask.shape[0]
+        mask_f = (mask.astype(jnp.float32) * _LOG2E).reshape(nw * n, n)
+    else:
+        nw = 1
+        mask_f = jnp.zeros((n, n), jnp.float32)
+
+    kernel = functools.partial(_kernel, num_heads=num_heads, n=n, wb=wb,
+                               nw=nw, scale=scale, ln_eps=ln_eps,
+                               has_mask=has_mask)
+    whole = lambda i: (0, 0)
+    vec = lambda i: (0,)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
+        grid=(bw // wb,),
+        in_specs=[
+            pl.BlockSpec((wb * n, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads * n, n), whole,
+                         memory_space=pltpu.VMEM),
+            # mask resident across the grid (constant index map); windows
+            # slice their rows in-kernel
+            pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb * n, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((wb * n, c), xw.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            # same measured-scope rationale as the stage-split MHSA/window
+            # kernels (docs/DESIGN.md)
+            vmem_limit_bytes=28 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
+            bytes_accessed=2 * bw * n * c * xw.dtype.itemsize,
+            transcendentals=bw * num_heads * n * n),
+    )(xf, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias_f, mask_f)
+    return out.reshape(bw, n, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_swin_attn_block(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                          bias, mask, num_heads: int, ln_eps: float = 1e-5):
+    """out = xw + proj(window_attention(LN(xw))) on pre-partitioned
+    windows; xw: (BW, N, C), wqkv: (C, 3C) q|k|v column blocks,
+    bias: (H, N, N), mask: (nW, N, N) or None. See module docstring."""
+    return _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
+                    num_heads, ln_eps)
+
+
+def _fwd(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
+         num_heads, ln_eps):
+    out = _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
+                   num_heads, ln_eps)
+    return out, (xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask)
+
+
+def _bwd(num_heads, ln_eps, res, g):
+    xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask = res
+    if mask is None:
+        f = lambda *a: _swin_attn_block_xla(*a, mask=None,
+                                            num_heads=num_heads,
+                                            ln_eps=ln_eps)
+        _, vjp = jax.vjp(f, xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias)
+        return vjp(g) + (None,)
+    f = lambda *a: _swin_attn_block_xla(*a, num_heads=num_heads,
+                                        ln_eps=ln_eps)
+    _, vjp = jax.vjp(f, xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias,
+                     mask)
+    return vjp(g)
+
+
+fused_swin_attn_block.defvjp(_fwd, _bwd)

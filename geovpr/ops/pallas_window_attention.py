@@ -27,12 +27,20 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# softmax without the max-shift (clamp-guarded): exp2(s)/sum(exp2(s)) is
+# shift-invariant, the shift is pure VPU cost, and this kernel only runs
+# on the deterministic eval path (SwinBlock pallas_ok; the custom-VJP
+# backward recomputes from XLA, not from these probabilities). Same
+# reasoning and knob as geovpr/ops/pallas_mhsa.py.
+_SKIP_MAX = os.environ.get("GEOVPR_MHSA_SKIP_MAX", "1") == "1"
 
 
 def _pick_wb(n: int, bw: int, nw: int) -> int:
@@ -86,8 +94,11 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref, *,
         for h in range(num_heads):
             s = (ss[i] + bias_ref[h * n:(h + 1) * n, :].astype(jnp.float32)
                  * log2e + m_w)
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s)
+            if _SKIP_MAX:
+                p = jnp.exp2(jnp.minimum(s, 100.0))
+            else:
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp2(s)
             ps.append((p, jnp.sum(p, axis=-1, keepdims=True)))
             i += 1
     i = 0

@@ -364,3 +364,79 @@ class TestFusedMhsaInt8:
         assert padded.shape == (B, NP, D)
         np.testing.assert_array_equal(np.asarray(plain),
                                       np.asarray(padded)[:, :N])
+
+
+class TestFusedSwinAttnBlock:
+    """Fused Swin attention half-block (LN1 -> qkv -> window attention
+    with relative-position bias / shift mask -> proj -> +residual) vs the
+    XLA oracle, interpreter mode on CPU."""
+
+    def _patch(self, monkeypatch):
+        import geovpr.ops.pallas_swin_block as m
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        return m
+
+    def _mk(self, bw, n, c, h, nw, with_mask, seed=0):
+        rng = np.random.default_rng(seed)
+        xw = jnp.array(rng.normal(size=(bw, n, c)), jnp.float32)
+        ln_s = jnp.array(rng.normal(size=c) * 0.1 + 1, jnp.float32)
+        ln_b = jnp.array(rng.normal(size=c) * 0.1, jnp.float32)
+        wqkv = jnp.array(rng.normal(size=(c, 3 * c)) * 0.1, jnp.float32)
+        bqkv = jnp.array(rng.normal(size=3 * c) * 0.1, jnp.float32)
+        wo = jnp.array(rng.normal(size=(c, c)) * 0.1, jnp.float32)
+        bo = jnp.array(rng.normal(size=c) * 0.1, jnp.float32)
+        bias = jnp.array(rng.normal(size=(h, n, n)) * 0.2, jnp.float32)
+        mask = (jnp.array(np.where(rng.random((nw, n, n)) < 0.2, -100.0,
+                                   0.0), jnp.float32) if with_mask else None)
+        return xw, ln_s, ln_b, wqkv, bqkv, wo, bo, bias, mask
+
+    @pytest.mark.parametrize("case", [
+        # (bw, n, c, heads, nw, with_mask)
+        (8, 16, 128, 2, 4, True),    # wb=8 spans two mask periods
+        (8, 16, 128, 2, 1, False),   # no-mask (shift=0) variant
+        (16, 16, 128, 4, 16, True),  # wb < nW -> dynamic mask slicing
+        (4, 16, 128, 2, 4, True),    # wb == bw (single program)
+    ])
+    def test_matches_xla(self, monkeypatch, case):
+        m = self._patch(monkeypatch)
+        bw, n, c, h, nw, with_mask = case
+        args = self._mk(bw, n, c, h, nw, with_mask)
+        got = m.fused_swin_attn_block(*args, h, 1e-5)
+        want = m._swin_attn_block_xla(*args, num_heads=h, ln_eps=1e-5)
+        assert m.pick_windows_per_program(bw, n, h) > 0
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_ineligible_shapes_fall_back(self, monkeypatch):
+        """window-7 (N=49) and C=96 shapes must silently take the XLA
+        path inside _forward."""
+        m = self._patch(monkeypatch)
+        args = self._mk(8, 49, 96, 2, 4, True)
+        got = m.fused_swin_attn_block(*args, 2, 1e-5)
+        want = m._swin_attn_block_xla(*args, num_heads=2, ln_eps=1e-5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_grads_match_xla(self, monkeypatch):
+        m = self._patch(monkeypatch)
+        args = self._mk(8, 16, 128, 2, 4, True)
+        mask = args[-1]
+
+        def loss_pl(*a):
+            return jnp.sum(m.fused_swin_attn_block(*a, mask, 2, 1e-5) ** 2)
+
+        def loss_xla(*a):
+            return jnp.sum(m._swin_attn_block_xla(*a, mask, num_heads=2,
+                                                  ln_eps=1e-5) ** 2)
+
+        g1 = jax.grad(loss_pl, argnums=tuple(range(8)))(*args[:-1])
+        g2 = jax.grad(loss_xla, argnums=tuple(range(8)))(*args[:-1])
+        for a, b in zip(g1, g2):
+            # grads of sum(out^2) reach |g|~60 at these widths; tolerance
+            # matches the MHSA key-split grad test above
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)

@@ -103,3 +103,31 @@ def test_indivisible_window_raises():
                         window_size=5, image_size=64,
                         use_pallas=False).init(
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+
+def test_fused_block_path_matches_unfused(monkeypatch):
+    """The fused Pallas half-block path (SwinBlock eval on TPU) must be
+    numerically equivalent to the unfused XLA path — including the roll /
+    window-partition / residual plumbing around the kernel. Runs the
+    kernel in interpreter mode with the backend gate patched to 'tpu'."""
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_swin_block as psb
+    from geovpr.models.swin import SwinBlock
+
+    blk = SwinBlock(dim=128, num_heads=4, resolution=24, window=12,
+                    shift=6, drop_path=0.0, use_pallas=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24 * 24, 128))
+    v = blk.init(jax.random.PRNGKey(1), x)
+    want = blk.apply(v, x)          # CPU backend -> unfused XLA path
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        psb.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    # flip the backend gate so SwinBlock takes the fused path; the kernel
+    # itself runs interpreted (the fused path never calls the unfused
+    # window_attention op, so the global patch is safe here)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = blk.apply(v, x)           # fused kernel path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
