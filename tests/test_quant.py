@@ -148,3 +148,62 @@ class TestDinoV2SaladInt8:
                             num_clusters=8, cluster_dim=16, token_dim=16)
         with pytest.raises(ValueError):
             quantize_for_serving(model, {"params": {}}, [])
+
+
+class TestTrainerInt8Serving:
+    """Trainer.enable_int8_serving: the CLI-facing int8 eval path
+    (cli/evaluate --int8, and the same plumbing cli/fuse reuses)."""
+
+    def _trainer(self, tmp_path):
+        from geovpr.core.config import (DataConfig, ModelConfig, OptimConfig,
+                                        TrainConfig)
+        from geovpr.objectives.workloads import GeoposeObjective
+        from geovpr.objectives.scaler import ScalerState
+        from geovpr.parallel import create_mesh
+        from geovpr.train import Trainer
+        from geovpr.train.model import RegressionModel
+
+        cfg = ModelConfig(family="dinov2", variant="small-14",
+                          image_size=28, head="mlp", head_hidden=16)
+        trainer = Trainer(
+            model=RegressionModel(config=cfg),
+            objective=GeoposeObjective(),
+            optim_cfg=OptimConfig(lr=1e-3, schedule="constant"),
+            train_cfg=TrainConfig(epochs=1, seed=0,
+                                  save_dir=str(tmp_path)),
+            data_cfg=DataConfig(batch_size=8, image_size=28),
+            mesh=create_mesh(),
+            scaler=ScalerState(mean=jnp.zeros(2), scale=jnp.ones(2)),
+            run_dir=str(tmp_path / "run"))
+        trainer.init_state((28, 28, 3))
+        return trainer
+
+    def _source(self, n=16, size=28, seed=3):
+        from geovpr.data.pipeline import ArraySource
+        rng = np.random.default_rng(seed)
+        return ArraySource(
+            images=rng.integers(0, 255, (n, size, size, 3),
+                                dtype=np.uint8),
+            targets=rng.normal(size=(n, 2)).astype(np.float32))
+
+    def test_int8_eval_matches_f32(self, tmp_path):
+        trainer = self._trainer(tmp_path)
+        source = self._source()
+        m_f32, p_f32 = trainer.evaluate_and_predict(source)
+        trainer.enable_int8_serving(source)
+        assert trainer._extra_eval_vars is not None
+        assert "quant" in trainer._extra_eval_vars
+        m_int8, p_int8 = trainer.evaluate_and_predict(source)
+        # random-init head outputs are tiny; compare on scale
+        scale = np.abs(p_f32).max() + 1e-6
+        assert np.abs(p_int8 - p_f32).max() <= 0.05 * scale
+        # metrics stay in the same ballpark (sanity, random weights)
+        assert np.isfinite(m_int8["mse"]) and np.isfinite(m_f32["mse"])
+
+    def test_unsupported_family_raises(self, tmp_path):
+        from geovpr.models.registry import build_backbone, supports_int8
+        from geovpr.core.config import ModelConfig
+        assert not supports_int8("efficientnet")
+        with pytest.raises(ValueError, match="int8"):
+            build_backbone(ModelConfig(family="efficientnet", variant="b0"),
+                           int8=True)
