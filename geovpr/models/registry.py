@@ -38,7 +38,8 @@ def build_backbone(cfg: ModelConfig, dtype=jnp.float32, *,
                 f"image_size={cfg.image_size}")
         return SwinTransformer(**spec, dtype=dtype,
                                use_pallas=cfg.use_pallas, remat=cfg.remat,
-                               int8_mlp=int8, calibrate=calibrate)
+                               int8_mlp=int8, int8_attn=int8,
+                               calibrate=calibrate)
     if family == "dinov2":
         from geovpr.models.dinov2 import DinoV2, DINOV2_VARIANTS
         if cfg.variant not in DINOV2_VARIANTS:

@@ -128,10 +128,12 @@ class SwinAttnParams(nn.Module):
 
 
 def _window_attn_apply(xw, attn, bias, mask, num_heads: int,
-                       use_pallas: bool, dtype) -> jax.Array:
+                       use_pallas: bool, dtype, sow_ctx=None) -> jax.Array:
     """Unfused window attention from the shared params: q/k/v/out
     projections as plain dots around the `window_attention` op (which
-    itself picks the Pallas window kernel or XLA einsum)."""
+    itself picks the Pallas window kernel or XLA einsum). `sow_ctx` is the
+    calibration hook: called with the pre-proj attention context so the
+    int8 path can derive its static a_ctx scale."""
     bw, n, c = xw.shape
     dh = c // num_heads
 
@@ -149,6 +151,8 @@ def _window_attn_apply(xw, attn, bias, mask, num_heads: int,
     v = heads(proj(xw, attn["value"]))
     out = window_attention(q, k, v, bias, mask, use_pallas=use_pallas)
     out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    if sow_ctx is not None:
+        sow_ctx(out)
     return proj(out, attn["proj"])
 
 
@@ -162,6 +166,7 @@ class SwinBlock(nn.Module):
     use_pallas: bool = True
     # w8a8 serving path / its calibration pass (geovpr/models/quantize.py)
     int8_mlp: bool = False
+    int8_attn: bool = False
     calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -175,9 +180,12 @@ class SwinBlock(nn.Module):
         shortcut = x
         # Kernels on the deterministic (eval) path only: their backwards
         # are XLA recomputes (no structured bwd) — a net LOSS for
-        # training, so the train path keeps XLA attention.
+        # training, so the train path keeps XLA attention. Calibration
+        # forces the unfused path: it sows the pre-proj attention context
+        # amax, which the fused kernels never materialize.
         pallas_ok = (self.use_pallas and deterministic
-                     and jax.default_backend() == "tpu")
+                     and jax.default_backend() == "tpu"
+                     and not self.calibrate)
 
         n1_scale, n1_bias = PScaleBias(c, name="norm1")()
         attn = SwinAttnParams(self.dim, self.num_heads, self.window,
@@ -194,6 +202,24 @@ class SwinBlock(nn.Module):
                              -100.0, 0.0).astype(jnp.float32)
         else:
             mask = None
+
+        if self.int8_attn:
+            d = self.dim
+            qa = {
+                name: self.variable("quant", name, init, shape, dt)
+                for name, init, shape, dt in (
+                    ("attn_a_x", jnp.ones, (), jnp.float32),
+                    ("attn_a_ctx", jnp.ones, (), jnp.float32),
+                    ("attn_wqkv_q", jnp.zeros, (d, 3 * d), jnp.int8),
+                    ("attn_wqkv_scale", jnp.ones, (3 * d,), jnp.float32),
+                    ("attn_wo_q", jnp.zeros, (d, d), jnp.int8),
+                    ("attn_wo_scale", jnp.ones, (d,), jnp.float32),
+                )
+            }
+            if not self.is_initializing():
+                attn_args = self._attn_int8_fold(n1_scale, n1_bias, attn, qa)
+                x = self._attention_int8(x, attn_args, bias, mask, h, w)
+                return self._mlp_half(x, deterministic)
 
         from geovpr.ops.pallas_swin_block import (
             fused_swin_attn_block, swin_block_kernel_ok)
@@ -227,25 +253,121 @@ class SwinBlock(nn.Module):
             x = xs.reshape(b, l, c)
         else:
             x = _layer_norm(x, n1_scale, n1_bias, eps=LN_EPS)
+            if self.calibrate:
+                self.sow("quant_calib", "attn_x",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))))
             x = x.reshape(b, h, w, c)
             if self.shift > 0:
                 x = jnp.roll(x, shift=(-self.shift, -self.shift),
                              axis=(1, 2))
             xw = window_partition(x, self.window)
+            sow_ctx = None
+            if self.calibrate:
+                sow_ctx = lambda t: self.sow(
+                    "quant_calib", "attn_ctx",
+                    jnp.max(jnp.abs(t.astype(jnp.float32))))
             xw = _window_attn_apply(xw, attn, bias, mask, self.num_heads,
-                                    use_pallas=pallas_ok, dtype=self.dtype)
+                                    use_pallas=pallas_ok, dtype=self.dtype,
+                                    sow_ctx=sow_ctx)
             x = window_reverse(xw, self.window, h, w)
             if self.shift > 0:
                 x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
             x = x.reshape(b, l, c)
             x = shortcut + DropPath(self.drop_path)(x, deterministic)
 
+        return self._mlp_half(x, deterministic)
+
+    def _attn_int8_fold(self, n1_scale, n1_bias, attn, qa):
+        """Pre-fold the static int8 scales of the attention half (scheme:
+        geovpr/ops/quant.py; fold: pallas_swin_block._kernel_int8) into
+        the argument tuple shared by the Pallas kernel and the XLA
+        fallback. Swin has no LayerScale, so no gamma in the tuple."""
+        d = self.dim
+        a_x = qa["attn_a_x"].value
+        a_ctx = qa["attn_a_ctx"].value
+        bqkv = jnp.concatenate(
+            [attn["query"][1], attn["key"][1], attn["value"][1]]
+        ).astype(jnp.float32)
+        # fold 1/a_ctx into the v third of the dequant scale and bias: the
+        # attention context (a convex combination of v rows) then lands
+        # directly in quantized units
+        vmask = jnp.where(jnp.arange(3 * d) < 2 * d, 1.0, 1.0 / a_ctx)
+        return (n1_scale.astype(jnp.float32) / a_x,
+                n1_bias.astype(jnp.float32) / a_x,
+                qa["attn_wqkv_q"].value,
+                a_x * qa["attn_wqkv_scale"].value * vmask,
+                bqkv * vmask,
+                qa["attn_wo_q"].value,
+                a_ctx * qa["attn_wo_scale"].value,
+                attn["proj"][1].astype(jnp.float32))
+
+    def _attention_int8(self, x, attn_args, bias, mask, h, w):
+        """w8a8 attention half from pre-folded static scales: roll /
+        window-partition, then the fused int8 Pallas kernel on TPU, or an
+        XLA fallback with identical arithmetic (CPU tests, window-7
+        shapes). Serving-only — stop_gradient'ed."""
+        b, l, c = x.shape
+        (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
+         bo) = attn_args
+        xs = x.reshape(b, h, w, c)
+        if self.shift > 0:
+            xs = jnp.roll(xs, shift=(-self.shift, -self.shift), axis=(1, 2))
+        xw = window_partition(xs, self.window)
+
+        ow = None
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from geovpr.ops.pallas_swin_block import fused_swin_attn_block_int8
+            ow = fused_swin_attn_block_int8(
+                xw.astype(jnp.bfloat16), ln_scale_q, ln_bias_q, wqkv_q,
+                sqkv_eff, bqkv_eff, wo_q, so_eff, bo, bias, mask,
+                self.num_heads, LN_EPS)
+            if ow is not None:
+                ow = ow.astype(x.dtype)
+        if ow is None:
+            # XLA fallback: same arithmetic, plain exp-domain softmax
+            bw, n, _ = xw.shape
+            dh = c // self.num_heads
+            xf = xw.astype(jnp.float32)
+            mu = jnp.mean(xf, axis=-1, keepdims=True)
+            var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+            normed = (xf - mu) * jax.lax.rsqrt(var + LN_EPS)
+            xq = jnp.clip(jnp.round(normed * ln_scale_q + ln_bias_q),
+                          -127, 127).astype(jnp.int8)
+            yi = jax.lax.dot_general(
+                xq.reshape(-1, c), wqkv_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            qkv = (yi.astype(jnp.float32) * sqkv_eff + bqkv_eff
+                   ).astype(jnp.bfloat16).reshape(bw, n, 3 * c)
+
+            def heads(t):
+                return t.reshape(bw, n, self.num_heads, dh
+                                 ).transpose(0, 2, 1, 3)
+
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            ctx = window_attention(heads(q), heads(k), heads(v), bias, mask,
+                                   use_pallas=False)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(bw * n, c)
+            ctxq = jnp.clip(jnp.round(ctx.astype(jnp.float32)),
+                            -127, 127).astype(jnp.int8)
+            yo = jax.lax.dot_general(
+                ctxq, wo_q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = yo.astype(jnp.float32) * so_eff + bo
+            ow = jax.lax.stop_gradient(
+                (out.reshape(bw, n, c) + xf).astype(x.dtype))
+        xs = window_reverse(ow, self.window, h, w)
+        if self.shift > 0:
+            xs = jnp.roll(xs, shift=(self.shift, self.shift), axis=(1, 2))
+        return xs.reshape(b, l, c)
+
+    def _mlp_half(self, x, deterministic):
         # norm2 as explicit scale/bias params (names match nn.LayerNorm, so
         # checkpoints/converters are unchanged): the int8 serving path
         # fuses LN -> int8 MLP -> +residual into one op (the Pallas MLP
         # block kernel on TPU — keeps the (M, 4C) f32 hidden in VMEM; the
         # identical XLA arithmetic elsewhere). Swin has no LayerScale, so
         # gamma = ones.
+        c = self.dim
         n2_scale, n2_bias = PScaleBias(c, name="norm2")()
         mlp = Mlp(hidden_dim=4 * self.dim, name="mlp", dtype=self.dtype,
                   int8=self.int8_mlp, calibrate=self.calibrate)
@@ -295,8 +417,9 @@ class SwinTransformer(nn.Module):
     # rematerialize blocks on backward — Swin-B-384's stage-1 activations
     # (9216 tokens) dominate memory; remat trades FLOPs for per-chip batch
     remat: bool = False
-    # w8a8 MLP serving path (inference only) / its calibration pass
+    # w8a8 serving path (inference only) / its calibration pass
     int8_mlp: bool = False
+    int8_attn: bool = False
     calibrate: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -333,7 +456,8 @@ class SwinTransformer(nn.Module):
                     window=min(self.window_size, res), shift=shift,
                     drop_path=float(dprates[block_i]),
                     use_pallas=self.use_pallas,
-                    int8_mlp=self.int8_mlp, calibrate=self.calibrate,
+                    int8_mlp=self.int8_mlp, int8_attn=self.int8_attn,
+                    calibrate=self.calibrate,
                     name=f"stage{stage_i}_block{layer_i}",
                     dtype=self.dtype)(x, deterministic)
                 block_i += 1

@@ -75,28 +75,18 @@ def swin_block_kernel_ok(n: int, c: int, bw: int, num_heads: int) -> bool:
             and pick_windows_per_program(bw, n, num_heads) > 0)
 
 
-def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
-            wo_ref, bo_ref, bias_ref, mask_ref, o_ref, ctx_ref,
-            *, num_heads: int, n: int, wb: int, nw: int, scale: float,
-            ln_eps: float, has_mask: bool):
-    m, d = x_ref.shape              # (wb*n, C)
+def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
+                           *, num_heads: int, n: int, wb: int, nw: int,
+                           d: int, has_mask: bool,
+                           quantize_out: bool = False):
+    """The stage-split (window x head) attention core shared by the bf16
+    and int8 kernels: all score matmuls, then all softmax chains, then all
+    pv matmuls. `qkv` must already carry scale x log2(e) folded into the q
+    columns; rel-pos bias and shift mask arrive pre-scaled by log2(e).
+    `quantize_out` rounds/clips the context to int8 before the store (the
+    int8 kernel pre-scales v by 1/a_ctx so the context lands in quantized
+    units). Pure Python helper — traces identically to inlined code."""
     dh = d // num_heads
-
-    x_raw = x_ref[:]
-    xf = x_raw.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
-    x = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
-         * ln_scale_ref[:].astype(jnp.float32)
-         + ln_bias_ref[:].astype(jnp.float32)).astype(x_raw.dtype)
-
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
-    # fold softmax scale + exp->exp2 change of base into the q columns
-    # while f32 (folding into bf16 weights would re-round them)
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
-    srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
-    qkv = ((qkv + bqkv_ref[:].astype(jnp.float32)) * srow).astype(x.dtype)
-
     pid = pl.program_id(0)
     ss = []
     for w in range(wb):                     # stage 1: all score matmuls
@@ -132,12 +122,80 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
             p, z = ps[i]
             o = jnp.dot(p.astype(v.dtype), v,
                         preferred_element_type=jnp.float32) / z
+            if quantize_out:
+                o = jnp.clip(jnp.round(o), -127, 127)
             ctx_ref[rows, lanes] = o.astype(ctx_ref.dtype)
             i += 1
+
+
+def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
+            wo_ref, bo_ref, bias_ref, mask_ref, o_ref, ctx_ref,
+            *, num_heads: int, n: int, wb: int, nw: int, scale: float,
+            ln_eps: float, has_mask: bool):
+    m, d = x_ref.shape              # (wb*n, C)
+
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    x = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+         * ln_scale_ref[:].astype(jnp.float32)
+         + ln_bias_ref[:].astype(jnp.float32)).astype(x_raw.dtype)
+
+    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+    # fold softmax scale + exp->exp2 change of base into the q columns
+    # while f32 (folding into bf16 weights would re-round them)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+    srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
+    qkv = ((qkv + bqkv_ref[:].astype(jnp.float32)) * srow).astype(x.dtype)
+
+    _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
+                           num_heads=num_heads, n=n, wb=wb, nw=nw, d=d,
+                           has_mask=has_mask)
 
     out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
     out = out + bo_ref[:].astype(jnp.float32) + xf
     o_ref[:] = out.astype(o_ref.dtype)
+
+
+def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
+                 bqkv_ref, wo_q_ref, so_ref, bo_ref, bias_ref, mask_ref,
+                 o_ref, ctx_ref, *, num_heads: int, n: int, wb: int,
+                 nw: int, scale: float, ln_eps: float, has_mask: bool):
+    """w8a8 serving variant: the qkv and out projections run
+    int8 x int8 -> int32 on the MXU; the attention core stays bf16. Static
+    activation scales arrive PRE-FOLDED by the caller (same fold as
+    `pallas_mhsa._mhsa_kernel_v3_int8` / `SwinBlock._attn_int8_fold`):
+    1/a_x in the LN scale/bias, a_x x weight-column-scale in `sqkv` with
+    the v third further scaled by 1/a_ctx (the context then lands in
+    quantized units), a_ctx x wo-column-scale in `so`. ctx scratch is int8
+    and feeds the out-proj matmul directly."""
+    m, d = x_ref.shape
+    dh = d // num_heads
+
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    normed = (xf - mu) * jax.lax.rsqrt(var + ln_eps)
+    xq = jnp.clip(jnp.round(normed * ln_scale_ref[:].astype(jnp.float32)
+                            + ln_bias_ref[:].astype(jnp.float32)),
+                  -127, 127).astype(jnp.int8)
+
+    yi = jax.lax.dot(xq, wqkv_q_ref[:], preferred_element_type=jnp.int32)
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+    srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
+    qkv = ((yi.astype(jnp.float32) * sqkv_ref[:]
+            + bqkv_ref[:]) * srow).astype(jnp.bfloat16)
+
+    _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
+                           num_heads=num_heads, n=n, wb=wb, nw=nw, d=d,
+                           has_mask=has_mask, quantize_out=True)
+
+    yo = jax.lax.dot(ctx_ref[:], wo_q_ref[:],
+                     preferred_element_type=jnp.int32)
+    out = yo.astype(jnp.float32) * so_ref[:] + bo_ref[:].astype(jnp.float32)
+    o_ref[:] = (out + xf).astype(o_ref.dtype)
 
 
 def _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
@@ -274,3 +332,68 @@ def _bwd(num_heads, ln_eps, res, g):
 
 
 fused_swin_attn_block.defvjp(_fwd, _bwd)
+
+
+def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
+                               bqkv_eff, wo_q, so_eff, bo, bias, mask,
+                               num_heads: int, ln_eps: float = 1e-5):
+    """Serving-only (no VJP) w8a8 fused Swin attention half-block.
+    Arguments carry PRE-FOLDED static scales — see `_kernel_int8` and the
+    fold in `geovpr/models/swin.py` (SwinBlock._attn_int8_fold). Returns
+    None when the kernel eligibility conditions don't hold (caller falls
+    back to the XLA int8 window-attention path)."""
+    bw, n, c = xw.shape
+    dh = c // num_heads
+    scale = dh ** -0.5
+    wb = pick_windows_per_program(bw, n, num_heads)
+    if wb == 0 or n % 16 != 0 or c % 128 != 0:
+        return None
+
+    xf = xw.reshape(bw * n, c)
+    bias_f = (bias.astype(jnp.float32) * _LOG2E).reshape(num_heads * n, n)
+    has_mask = mask is not None
+    if has_mask:
+        nw = mask.shape[0]
+        mask_f = (mask.astype(jnp.float32) * _LOG2E).reshape(nw * n, n)
+    else:
+        nw = 1
+        mask_f = jnp.zeros((n, n), jnp.float32)
+
+    kernel = functools.partial(_kernel_int8, num_heads=num_heads, n=n,
+                               wb=wb, nw=nw, scale=scale, ln_eps=ln_eps,
+                               has_mask=has_mask)
+    whole = lambda i: (0, 0)
+    vec = lambda i: (0,)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
+        grid=(bw // wb,),
+        in_specs=[
+            pl.BlockSpec((wb * n, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads * n, n), whole,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb * n, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((wb * n, c), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
+            bytes_accessed=2 * bw * n * c * xw.dtype.itemsize,
+            transcendentals=bw * num_heads * n * n),
+    )(xf, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
+      bo, bias_f, mask_f)
+    return jax.lax.stop_gradient(out.reshape(bw, n, c))

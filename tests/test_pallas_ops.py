@@ -421,6 +421,62 @@ class TestFusedSwinAttnBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-5, atol=3e-5)
 
+    @pytest.mark.parametrize("with_mask", [True, False])
+    def test_int8_kernel_matches_xla_int8(self, monkeypatch, with_mask):
+        """The w8a8 fused kernel vs the identical-arithmetic XLA fallback
+        (SwinBlock._attention_int8): same int8 operands, so only softmax
+        rounding differs."""
+        from geovpr.ops.quant import quantize_weight
+        m = self._patch(monkeypatch)
+        bw, n, c, h, nw = 8, 16, 128, 2, 4
+        xw, ln_s, ln_b, wqkv, bqkv, wo, bo, bias, mask = self._mk(
+            bw, n, c, h, nw, with_mask)
+        a_x, a_ctx = 0.11, 0.07     # arbitrary static scales
+        wqkv_q, sqkv = quantize_weight(wqkv)
+        wo_q, so = quantize_weight(wo)
+        vmask = jnp.where(jnp.arange(3 * c) < 2 * c, 1.0, 1.0 / a_ctx)
+        args = (ln_s / a_x, ln_b / a_x, wqkv_q, a_x * sqkv * vmask,
+                bqkv * vmask, wo_q, a_ctx * so, bo)
+        got = m.fused_swin_attn_block_int8(xw, *args, bias, mask, h, 1e-5)
+        assert got is not None
+
+        # XLA reference with the same quantized operands
+        dh = c // h
+        xf = xw.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        xq = jnp.clip(jnp.round(normed * args[0] + args[1]),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.dot_general(xq.reshape(-1, c), wqkv_q,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        qkv = (yi.astype(jnp.float32) * args[3] + args[4]
+               ).astype(jnp.bfloat16).astype(jnp.float32).reshape(bw, n,
+                                                                  3 * c)
+
+        def heads(t):
+            return t.reshape(bw, n, h, dh).transpose(0, 2, 1, 3)
+
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k)) * dh ** -0.5
+        s = s + bias[None]
+        if with_mask:
+            s = (s.reshape(bw // nw, nw, h, n, n)
+                 + mask[None, :, None]).reshape(bw, h, n, n)
+        p = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(bw * n, c)
+        ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
+        yo = jax.lax.dot_general(ctxq, wo_q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        want = (yo.astype(jnp.float32) * args[6] + bo).reshape(bw, n, c) + xf
+        # int8 rounding can flip a context unit by +-1 near .5 boundaries;
+        # compare on output scale
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0.02 * scale, rtol=0.02)
+
     def test_grads_match_xla(self, monkeypatch):
         m = self._patch(monkeypatch)
         args = self._mk(8, 16, 128, 2, 4, True)

@@ -143,6 +143,30 @@ class TestDinoV2SaladInt8:
                 {"params": variables["params"]}, x).pooled, np.float32)
         assert np.abs(got - want).max() <= 0.05 * (np.abs(want).max() + 1e-6)
 
+    def test_swin_int8_attn_forward_close(self, rng):
+        """w8a8 attention projections on Swin (XLA window-attention
+        fallback on CPU) on top of the int8 MLPs — the full Swin serving
+        configuration, including a shifted block (mask path)."""
+        from geovpr.models.swin import SwinTransformer
+
+        model = SwinTransformer(embed_dim=32, depths=(2,), num_heads=(2,),
+                                window_size=4, image_size=32, patch_size=4,
+                                use_pallas=False, int8_mlp=True,
+                                int8_attn=True)
+        x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        variables = quantize_for_serving(
+            model, {"params": variables["params"]}, [x])
+        q = variables["quant"]["stage0_block0"]
+        assert q["attn_wqkv_q"].dtype == jnp.int8
+        assert q["attn_wqkv_q"].shape == (32, 96)
+        assert float(q["attn_a_ctx"]) > 0
+        got = np.asarray(model.apply(variables, x).pooled, np.float32)
+        want = np.asarray(
+            model.clone(int8_mlp=False, int8_attn=False).apply(
+                {"params": variables["params"]}, x).pooled, np.float32)
+        assert np.abs(got - want).max() <= 0.05 * (np.abs(want).max() + 1e-6)
+
     def test_missing_calibration_raises(self):
         model = DinoV2Salad(variant="small-14", image_size=28,
                             num_clusters=8, cluster_dim=16, token_dim=16)
