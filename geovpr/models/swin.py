@@ -222,9 +222,19 @@ class SwinBlock(nn.Module):
                 return self._mlp_half(x, deterministic)
 
         from geovpr.ops.pallas_swin_block import (
-            fused_swin_attn_block, swin_block_kernel_ok)
-        if (pallas_ok and not self.is_initializing()
-                and swin_block_kernel_ok(n, c, b * nw, self.num_heads)):
+            fused_swin_attn_block, fused_swin_attn_train,
+            swin_block_kernel_ok)
+        # training fast path: same fused forward shape, but saves qkv/ctx
+        # residuals for the STRUCTURED Pallas backward (probabilities
+        # recomputed in VMEM; dqkv + rel-pos-bias grad in one kernel) and
+        # leaves the residual outside so DropPath keeps its semantics
+        train_kernel_ok = (self.use_pallas and not deterministic
+                           and jax.default_backend() == "tpu"
+                           and not self.calibrate)
+        kernel_shapes_ok = (not self.is_initializing()
+                            and swin_block_kernel_ok(n, c, b * nw,
+                                                     self.num_heads))
+        if pallas_ok and kernel_shapes_ok:
             # fused half-block: LN1 -> qkv -> window attention -> proj ->
             # +residual in ONE kernel (one read + one write of the token
             # stream instead of ~25 elementwise/projection HBM passes at
@@ -251,6 +261,27 @@ class SwinBlock(nn.Module):
                 xs = jnp.roll(xs, shift=(self.shift, self.shift),
                               axis=(1, 2))
             x = xs.reshape(b, l, c)
+        elif train_kernel_ok and kernel_shapes_ok:
+            xs = x.reshape(b, h, w, c)
+            if self.shift > 0:
+                xs = jnp.roll(xs, shift=(-self.shift, -self.shift),
+                              axis=(1, 2))
+            xw = window_partition(xs, self.window)
+            wqkv = jnp.concatenate(
+                [attn["query"][0], attn["key"][0], attn["value"][0]],
+                axis=1).astype(self.dtype)
+            bqkv = jnp.concatenate(
+                [attn["query"][1], attn["key"][1], attn["value"][1]])
+            y = fused_swin_attn_train(
+                xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
+                attn["proj"][0].astype(self.dtype), attn["proj"][1],
+                bias, mask, self.num_heads, LN_EPS)
+            xs = window_reverse(y, self.window, h, w)
+            if self.shift > 0:
+                xs = jnp.roll(xs, shift=(self.shift, self.shift),
+                              axis=(1, 2))
+            x = shortcut + DropPath(self.drop_path)(
+                xs.reshape(b, l, c), deterministic)
         else:
             x = _layer_norm(x, n1_scale, n1_bias, eps=LN_EPS)
             if self.calibrate:

@@ -78,14 +78,20 @@ def swin_block_kernel_ok(n: int, c: int, bw: int, num_heads: int) -> bool:
 def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
                            *, num_heads: int, n: int, wb: int, nw: int,
                            d: int, has_mask: bool,
-                           quantize_out: bool = False):
+                           quantize_out: bool = False,
+                           skip_max: bool | None = None):
     """The stage-split (window x head) attention core shared by the bf16
     and int8 kernels: all score matmuls, then all softmax chains, then all
     pv matmuls. `qkv` must already carry scale x log2(e) folded into the q
     columns; rel-pos bias and shift mask arrive pre-scaled by log2(e).
     `quantize_out` rounds/clips the context to int8 before the store (the
     int8 kernel pre-scales v by 1/a_ctx so the context lands in quantized
-    units). Pure Python helper — traces identically to inlined code."""
+    units). `skip_max` overrides the serving-path _SKIP_MAX default — the
+    TRAIN kernel forces the max-shift so the backward's softmax recompute
+    matches the forward. Pure Python helper — traces identically to
+    inlined code."""
+    if skip_max is None:
+        skip_max = _SKIP_MAX
     dh = d // num_heads
     pid = pl.program_id(0)
     ss = []
@@ -107,7 +113,7 @@ def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
             s = ss[i] + bias_ref[h * n:(h + 1) * n, :]
             if has_mask:
                 s = s + m_w
-            if _SKIP_MAX:
+            if skip_max:
                 p = jnp.exp2(jnp.minimum(s, 100.0))
             else:
                 p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
@@ -198,12 +204,146 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
     o_ref[:] = (out + xf).astype(o_ref.dtype)
 
 
+def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
+                  wo_ref, bo_ref, bias_ref, mask_ref,
+                  o_ref, qkv_out_ref, ctx_out_ref,
+                  *, num_heads: int, n: int, wb: int, nw: int, scale: float,
+                  ln_eps: float, has_mask: bool):
+    """Training-forward variant of `_kernel`: additionally materializes the
+    qkv projections (post-bias, UNSCALED — the backward contract) and the
+    attention context to HBM as residuals for the structured backward; the
+    (N, N) score/probability planes still never leave VMEM. Emits
+    y = proj(attention(LN(x))) WITHOUT the residual add — DropPath rides
+    outside in XLA (the train path has stochastic depth, which a fused
+    residual could not honor). Softmax keeps the max-shift so the
+    backward's recompute matches."""
+    m, d = x_ref.shape
+
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    x = ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+         * ln_scale_ref[:].astype(jnp.float32)
+         + ln_bias_ref[:].astype(jnp.float32)).astype(x_raw.dtype)
+
+    qkvf = (jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32)
+            + bqkv_ref[:].astype(jnp.float32))
+    qkv_out_ref[:] = qkvf.astype(qkv_out_ref.dtype)
+    # scale + log2e fold on a kernel-local copy of the q columns only
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+    srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
+    qkv = (qkvf * srow).astype(x.dtype)
+
+    _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_out_ref,
+                           num_heads=num_heads, n=n, wb=wb, nw=nw, d=d,
+                           has_mask=has_mask, skip_max=False)
+
+    out = jnp.dot(ctx_out_ref[:], wo_ref[:],
+                  preferred_element_type=jnp.float32)
+    o_ref[:] = (out + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwd_head_chunk(n: int, num_heads: int) -> int:
+    """Heads per backward stage chunk: the bwd holds ~4 live f32 planes
+    per (window, head) — p, dp, ds and a transient; chunking keeps that
+    under ~4 MB so the recompute stays within the VMEM scope at
+    stage-3 widths (H=32, N=144)."""
+    for ch in (num_heads, 16, 8, 4, 2, 1):
+        if num_heads % ch == 0 and 4 * ch * n * n * 4 <= 4 * 1024 * 1024:
+            return ch
+    return 1
+
+
+def _train_bwd_kernel(qkv_ref, da_ref, bias_ref, mask_ref,
+                      dqkv_ref, dbias_ref,
+                      *, num_heads: int, n: int, wb: int, nw: int,
+                      scale: float, has_mask: bool):
+    """Attention-core backward: given saved qkv and da = dL/d(ctx), emit
+    dqkv and the relative-position-bias gradient. Probabilities are
+    recomputed per (window, head-chunk) in VMEM — stashing (BW, H, N, N)
+    probabilities to HBM is exactly the bandwidth bill this kernel exists
+    to avoid. dbias accumulates across the sequential grid into one
+    (H*N, N) block (constant index map + "arbitrary" dimension semantics);
+    the shift mask is a constant — no gradient. All math in the natural
+    exp domain (same probabilities as the forward's exp2-with-shift up to
+    rounding)."""
+    m, d3 = qkv_ref.shape
+    d = d3 // 3
+    dh = d // num_heads
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    qkv = qkv_ref[:]
+    ch = _bwd_head_chunk(n, num_heads)
+    for w in range(wb):
+        rows = slice(w * n, (w + 1) * n)
+        if has_mask:
+            off = ((pid * wb + w) % nw) * n
+            m_w = mask_ref[pl.ds(off, n), :]
+        for h0 in range(0, num_heads, ch):
+            heads = range(h0, h0 + ch)
+            ss = []
+            for h in heads:                 # stage 1: score recompute
+                q = qkv[rows, h * dh:(h + 1) * dh]
+                k = qkv[rows, d + h * dh:d + (h + 1) * dh]
+                ss.append(jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            pss = []
+            for i, h in enumerate(heads):   # stage 2: softmax recompute
+                s = ss[i] * scale + bias_ref[h * n:(h + 1) * n, :]
+                if has_mask:
+                    s = s + m_w
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                pss.append(p / jnp.sum(p, axis=-1, keepdims=True))
+            dps = []
+            for i, h in enumerate(heads):   # stage 3: dP matmuls
+                v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
+                da = da_ref[rows, h * dh:(h + 1) * dh]
+                dps.append(jax.lax.dot_general(
+                    da, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            dss = []
+            for i, h in enumerate(heads):   # stage 4: softmax bwd (VPU)
+                p = pss[i]
+                ds = p * (dps[i] - jnp.sum(dps[i] * p, axis=-1,
+                                           keepdims=True))
+                dbias_ref[h * n:(h + 1) * n, :] += ds
+                dss.append((ds * scale).astype(qkv.dtype))
+            for i, h in enumerate(heads):   # stage 5: gradient matmuls
+                q = qkv[rows, h * dh:(h + 1) * dh]
+                k = qkv[rows, d + h * dh:d + (h + 1) * dh]
+                da = da_ref[rows, h * dh:(h + 1) * dh]
+                pb = pss[i].astype(qkv.dtype)
+                dv = jax.lax.dot_general(
+                    pb, da, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dq = jnp.dot(dss[i], k, preferred_element_type=jnp.float32)
+                dk = jax.lax.dot_general(
+                    dss[i], q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dqkv_ref[rows, h * dh:(h + 1) * dh] = (
+                    dq.astype(dqkv_ref.dtype))
+                dqkv_ref[rows, d + h * dh:d + (h + 1) * dh] = (
+                    dk.astype(dqkv_ref.dtype))
+                dqkv_ref[rows, 2 * d + h * dh:2 * d + (h + 1) * dh] = (
+                    dv.astype(dqkv_ref.dtype))
+
+
 def _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
-                         bias, mask, num_heads: int, ln_eps: float):
+                         bias, mask, num_heads: int, ln_eps: float,
+                         residual: bool = True):
     """jnp reference of the fused half-block — numeric oracle for the
     kernel and the recompute target of its backward. bias (H, N, N) and
     mask (nW, N, N)|None arrive UNSCALED here (the log2e pre-scaling is
-    kernel-path plumbing)."""
+    kernel-path plumbing). `residual=False` gives the train-kernel
+    contract: proj(attention(LN(x))) only (DropPath+residual ride
+    outside)."""
     bw, n, c = xw.shape
     dh = c // num_heads
     xf = xw.astype(jnp.float32)
@@ -234,7 +374,9 @@ def _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     out = (jnp.dot(o.astype(xw.dtype), wo,
                    preferred_element_type=jnp.float32)
            + bo.astype(jnp.float32))
-    return (out + xf).astype(xw.dtype)
+    if residual:
+        out = out + xf
+    return out.astype(xw.dtype)
 
 
 def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
@@ -397,3 +539,181 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
     )(xf, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
       bo, bias_f, mask_f)
     return jax.lax.stop_gradient(out.reshape(bw, n, c))
+
+
+# --------------------------------------------------------------- training
+def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                           bias, mask, num_heads: int, ln_eps: float):
+    """Training forward: returns (y, qkv, ctx) with qkv/ctx flat
+    (BW*N, ·) — internal residuals consumed by the structured backward."""
+    bw, n, c = xw.shape
+    dh = c // num_heads
+    scale = dh ** -0.5
+    wb = pick_windows_per_program(bw, n, num_heads)
+    xf = xw.reshape(bw * n, c)
+    bias_f = (bias.astype(jnp.float32) * _LOG2E).reshape(num_heads * n, n)
+    has_mask = mask is not None
+    if has_mask:
+        nw = mask.shape[0]
+        mask_f = (mask.astype(jnp.float32) * _LOG2E).reshape(nw * n, n)
+    else:
+        nw = 1
+        mask_f = jnp.zeros((n, n), jnp.float32)
+
+    kernel = functools.partial(_train_kernel, num_heads=num_heads, n=n,
+                               wb=wb, nw=nw, scale=scale, ln_eps=ln_eps,
+                               has_mask=has_mask)
+    whole = lambda i: (0, 0)
+    vec = lambda i: (0,)
+    row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM)
+    y, qkv, ctx = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
+            jax.ShapeDtypeStruct((bw * n, 3 * c), xw.dtype),
+            jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
+        ),
+        grid=(bw // wb,),
+        in_specs=[
+            row_spec(c),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads * n, n), whole,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row_spec(c), row_spec(3 * c), row_spec(c)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=28 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
+            bytes_accessed=6 * bw * n * c * xw.dtype.itemsize,
+            transcendentals=bw * num_heads * n * n),
+    )(xf, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias_f, mask_f)
+    return y.reshape(bw, n, c), qkv, ctx
+
+
+def _swin_attn_bwd_pallas(qkv, da, bias, mask, num_heads: int, n: int):
+    """Backward kernel dispatch: (dqkv flat, dbias (H, N, N) f32)."""
+    m, c3 = qkv.shape
+    c = c3 // 3
+    dh = c // num_heads
+    scale = dh ** -0.5
+    bw = m // n
+    wb = pick_windows_per_program(bw, n, num_heads)
+    assert wb > 0, "bwd dispatched for shapes the fwd gate rejected"
+    bias_f = bias.astype(jnp.float32).reshape(num_heads * n, n)
+    has_mask = mask is not None
+    if has_mask:
+        nw = mask.shape[0]
+        mask_f = mask.astype(jnp.float32).reshape(nw * n, n)
+    else:
+        nw = 1
+        mask_f = jnp.zeros((n, n), jnp.float32)
+
+    kernel = functools.partial(_train_bwd_kernel, num_heads=num_heads, n=n,
+                               wb=wb, nw=nw, scale=scale, has_mask=has_mask)
+    whole = lambda i: (0, 0)
+    row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM)
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, 3 * c), qkv.dtype),
+            jax.ShapeDtypeStruct((num_heads * n, n), jnp.float32),
+        ),
+        grid=(bw // wb,),
+        in_specs=[
+            row_spec(3 * c),
+            row_spec(c),
+            pl.BlockSpec((num_heads * n, n), whole,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
+                         memory_space=pltpu.VMEM),
+        ],
+        # dbias accumulates across the grid into ONE block -> the grid dim
+        # must be sequential ("arbitrary"), not "parallel"
+        out_specs=(row_spec(3 * c),
+                   pl.BlockSpec((num_heads * n, n), whole,
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=28 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * bw * num_heads * n * n * dh,
+            bytes_accessed=4 * m * c * qkv.dtype.itemsize,
+            transcendentals=bw * num_heads * n * n),
+    )(qkv, da, bias_f, mask_f)
+    return dqkv, dbias.reshape(num_heads, n, n)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_swin_attn_train(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                          bias, mask, num_heads: int, ln_eps: float = 1e-5):
+    """y = proj(window_attention(LN(xw))) on pre-partitioned windows — the
+    TRAINING half-block (no residual: DropPath + residual ride outside in
+    XLA). Differentiable with a STRUCTURED backward: the forward saves the
+    qkv projections and attention context; the backward runs a Pallas
+    attention-core kernel for dqkv and the relative-position-bias gradient
+    (probabilities recomputed in VMEM, N^2 never hits HBM) plus plain XLA
+    matmuls for the weight gradients and an exact LayerNorm VJP. Caller
+    must check `swin_block_kernel_ok` first."""
+    y, _, _ = _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv,
+                                     wo, bo, bias, mask, num_heads, ln_eps)
+    return y
+
+
+def _train_fwd(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
+               num_heads, ln_eps):
+    y, qkv, ctx = _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv,
+                                         wo, bo, bias, mask, num_heads,
+                                         ln_eps)
+    return y, (xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, qkv,
+               ctx)
+
+
+def _train_bwd(num_heads, ln_eps, res, g):
+    xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, qkv, ctx = res
+    bw, n, c = xw.shape
+
+    gf = g.reshape(bw * n, c).astype(jnp.float32)
+    gb = gf.astype(xw.dtype)
+    # y = ctx @ wo + bo
+    da = jnp.dot(gb, wo.T, preferred_element_type=jnp.float32
+                 ).astype(xw.dtype)
+    dqkv, dbias = _swin_attn_bwd_pallas(qkv, da, bias, mask, num_heads, n)
+    dwo = jnp.dot(ctx.T, gb,
+                  preferred_element_type=jnp.float32).astype(wo.dtype)
+    dbo = jnp.sum(gf, axis=0).astype(bo.dtype)
+
+    # LN recompute (elementwise) + exact VJP
+    xp = xw.reshape(bw * n, c)
+
+    def ln_f(xx, s, bias_):
+        xf = xx.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + ln_eps)
+                * s.astype(jnp.float32)
+                + bias_.astype(jnp.float32)).astype(xx.dtype)
+
+    h, ln_vjp = jax.vjp(ln_f, xp, ln_scale, ln_bias)
+    dwqkv = jnp.dot(h.T, dqkv,
+                    preferred_element_type=jnp.float32).astype(wqkv.dtype)
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0).astype(bqkv.dtype)
+    dh = jnp.dot(dqkv, wqkv.T,
+                 preferred_element_type=jnp.float32).astype(xw.dtype)
+    dx, dls, dlb = ln_vjp(dh)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return (dx.reshape(bw, n, c), dls, dlb, dwqkv, dbqkv, dwo, dbo,
+            dbias.astype(bias.dtype), dmask)
+
+
+fused_swin_attn_train.defvjp(_train_fwd, _train_bwd)

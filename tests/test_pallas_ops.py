@@ -477,6 +477,40 @@ class TestFusedSwinAttnBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=0.02 * scale, rtol=0.02)
 
+    @pytest.mark.parametrize("with_mask", [True, False])
+    def test_train_forward_matches_xla(self, monkeypatch, with_mask):
+        """The training-forward kernel (saves qkv/ctx, no residual) vs the
+        XLA oracle's residual=False contract."""
+        m = self._patch(monkeypatch)
+        args = self._mk(8, 16, 128, 2, 4, with_mask)
+        got = m.fused_swin_attn_train(*args, 2, 1e-5)
+        want = m._swin_attn_block_xla(*args, num_heads=2, ln_eps=1e-5,
+                                      residual=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=3e-5, atol=3e-5)
+
+    @pytest.mark.parametrize("with_mask", [True, False])
+    def test_train_structured_backward(self, monkeypatch, with_mask):
+        """The structured backward (Pallas dqkv + accumulated rel-pos-bias
+        grad + XLA weight grads + exact LN VJP) vs jax.grad of the XLA
+        oracle — all eight differentiable inputs including the bias."""
+        m = self._patch(monkeypatch)
+        args = self._mk(8, 16, 128, 2, 4, with_mask)
+        mask = args[-1]
+
+        def loss_tr(*a):
+            return jnp.sum(m.fused_swin_attn_train(*a, mask, 2, 1e-5) ** 2)
+
+        def loss_xla(*a):
+            return jnp.sum(m._swin_attn_block_xla(
+                *a, mask, num_heads=2, ln_eps=1e-5, residual=False) ** 2)
+
+        g1 = jax.grad(loss_tr, argnums=tuple(range(8)))(*args[:-1])
+        g2 = jax.grad(loss_xla, argnums=tuple(range(8)))(*args[:-1])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+
     def test_grads_match_xla(self, monkeypatch):
         m = self._patch(monkeypatch)
         args = self._mk(8, 16, 128, 2, 4, True)

@@ -105,6 +105,39 @@ def test_indivisible_window_raises():
             jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
 
 
+def test_train_kernel_path_matches_unfused_grads(monkeypatch):
+    """SwinBlock's training fast path (structured-backward Pallas kernel,
+    DropPath+residual outside) must match the unfused XLA path in value
+    AND parameter gradients."""
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_swin_block as psb
+    from geovpr.models.swin import SwinBlock
+
+    blk = SwinBlock(dim=128, num_heads=4, resolution=24, window=12,
+                    shift=6, drop_path=0.0, use_pallas=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24 * 24, 128))
+    v = blk.init(jax.random.PRNGKey(1), x)
+
+    def loss(v, x, det):
+        return jnp.sum(blk.apply(v, x, det) ** 2)
+
+    want, gwant = jax.value_and_grad(loss)(v, x, False)  # CPU unfused
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        psb.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got, ggot = jax.value_and_grad(loss)(v, x, False)    # fused train path
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    flat_w = jax.tree_util.tree_leaves_with_path(gwant)
+    flat_g = jax.tree_util.tree_leaves(ggot)
+    for (path, a), b in zip(flat_w, flat_g):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
 def test_fused_block_path_matches_unfused(monkeypatch):
     """The fused Pallas half-block path (SwinBlock eval on TPU) must be
     numerically equivalent to the unfused XLA path — including the roll /
