@@ -138,6 +138,41 @@ def test_train_kernel_path_matches_unfused_grads(monkeypatch):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_train_kernel_under_remat(monkeypatch):
+    """nn.remat around a SwinBlock whose train path uses the custom-VJP
+    kernel: the rematerialized forward re-enters the kernel during the
+    backward — grads must still match the unfused path."""
+    import flax.linen as nn
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_swin_block as psb
+    from geovpr.models.swin import SwinBlock
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 12 * 12, 128))
+
+    def build(use_pallas):
+        cls = nn.remat(SwinBlock, static_argnums=(2,))
+        return cls(dim=128, num_heads=4, resolution=12, window=12,
+                   shift=0, drop_path=0.0, use_pallas=use_pallas)
+
+    blk = build(False)
+    v = blk.init(jax.random.PRNGKey(1), x, False)
+    want, gwant = jax.value_and_grad(
+        lambda v: jnp.sum(build(False).apply(v, x, False) ** 2))(v)
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        psb.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got, ggot = jax.value_and_grad(
+        lambda v: jnp.sum(build(True).apply(v, x, False) ** 2))(v)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gwant),
+                    jax.tree_util.tree_leaves(ggot)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_fused_block_path_matches_unfused(monkeypatch):
     """The fused Pallas half-block path (SwinBlock eval on TPU) must be
     numerically equivalent to the unfused XLA path — including the roll /
