@@ -178,11 +178,12 @@ class SwinBlock(nn.Module):
         n = self.window * self.window
         nw = (h // self.window) * (w // self.window)
         shortcut = x
-        # Kernels on the deterministic (eval) path only: their backwards
-        # are XLA recomputes (no structured bwd) — a net LOSS for
-        # training, so the train path keeps XLA attention. Calibration
-        # forces the unfused path: it sows the pre-proj attention context
-        # amax, which the fused kernels never materialize.
+        # Serving kernel on the deterministic (eval) path only: its
+        # backward is an XLA recompute — the train path has its own fused
+        # kernel with a structured backward (train_kernel_ok below).
+        # Calibration forces the unfused path: it sows the pre-proj
+        # attention context amax, which the fused kernels never
+        # materialize.
         pallas_ok = (self.use_pallas and deterministic
                      and jax.default_backend() == "tpu"
                      and not self.calibrate)
@@ -441,9 +442,9 @@ class SwinTransformer(nn.Module):
     image_size: int = 384
     patch_size: int = 4
     drop_path_rate: float = 0.1
-    # eval path takes the stage-split Pallas window kernel (1.80 vs XLA
-    # 2.50 ms slope-measured at B-384 stage-2 shapes); the train path
-    # stays on XLA attention regardless (see SwinBlock.pallas_ok)
+    # eval path takes the fused Swin attention half-block kernel; the
+    # train path takes its training variant (stored-probability
+    # structured backward) — see SwinBlock.pallas_ok / train_kernel_ok
     use_pallas: bool = True
     # rematerialize blocks on backward — Swin-B-384's stage-1 activations
     # (9216 tokens) dominate memory; remat trades FLOPs for per-chip batch

@@ -79,17 +79,21 @@ def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
                            *, num_heads: int, n: int, wb: int, nw: int,
                            d: int, has_mask: bool,
                            quantize_out: bool = False,
-                           skip_max: bool | None = None):
+                           skip_max: bool | None = None,
+                           p_ref=None):
     """The stage-split (window x head) attention core shared by the bf16
     and int8 kernels: all score matmuls, then all softmax chains, then all
     pv matmuls. `qkv` must already carry scale x log2(e) folded into the q
     columns; rel-pos bias and shift mask arrive pre-scaled by log2(e).
     `quantize_out` rounds/clips the context to int8 before the store (the
     int8 kernel pre-scales v by 1/a_ctx so the context lands in quantized
-    units). `skip_max` overrides the serving-path _SKIP_MAX default — the
-    TRAIN kernel forces the max-shift so the backward's softmax recompute
-    matches the forward. Pure Python helper — traces identically to
-    inlined code."""
+    units). `skip_max` overrides the serving-path _SKIP_MAX default. When
+    `p_ref` is given (the TRAIN kernel), the NORMALIZED probabilities are
+    additionally stored to it, heads packed in lanes — (wb*n, H*n) — and
+    the pv matmul consumes the normalized plane (no o/z divide): the
+    structured backward then reuses the exact forward probabilities
+    instead of recomputing score+softmax. Pure Python helper — traces
+    identically to inlined code."""
     if skip_max is None:
         skip_max = _SKIP_MAX
     dh = d // num_heads
@@ -117,7 +121,13 @@ def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
                 p = jnp.exp2(jnp.minimum(s, 100.0))
             else:
                 p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
-            ps.append((p, jnp.sum(p, axis=-1, keepdims=True)))
+            if p_ref is not None:
+                # normalize the full plane so the stored probabilities are
+                # self-contained for the backward (z never leaves VMEM)
+                p = p * (1.0 / jnp.sum(p, axis=-1, keepdims=True))
+                ps.append((p, None))
+            else:
+                ps.append((p, jnp.sum(p, axis=-1, keepdims=True)))
             i += 1
     i = 0
     for w in range(wb):                     # stage 3: all pv matmuls
@@ -126,8 +136,13 @@ def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
             lanes = slice(h * dh, (h + 1) * dh)
             v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
             p, z = ps[i]
-            o = jnp.dot(p.astype(v.dtype), v,
-                        preferred_element_type=jnp.float32) / z
+            if p_ref is not None:
+                p_ref[rows, h * n:(h + 1) * n] = p.astype(p_ref.dtype)
+                o = jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32)
+            else:
+                o = jnp.dot(p.astype(v.dtype), v,
+                            preferred_element_type=jnp.float32) / z
             if quantize_out:
                 o = jnp.clip(jnp.round(o), -127, 127)
             ctx_ref[rows, lanes] = o.astype(ctx_ref.dtype)
@@ -206,17 +221,20 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
 
 def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
                   wo_ref, bo_ref, bias_ref, mask_ref,
-                  o_ref, qkv_out_ref, ctx_out_ref,
+                  o_ref, qkv_out_ref, ctx_out_ref, p_out_ref,
                   *, num_heads: int, n: int, wb: int, nw: int, scale: float,
                   ln_eps: float, has_mask: bool):
     """Training-forward variant of `_kernel`: additionally materializes the
-    qkv projections (post-bias, UNSCALED — the backward contract) and the
-    attention context to HBM as residuals for the structured backward; the
-    (N, N) score/probability planes still never leave VMEM. Emits
+    qkv projections (post-bias, UNSCALED — the backward contract), the
+    attention context, and the NORMALIZED probability planes (heads packed
+    in lanes, (wb*n, H*n)) to HBM as residuals for the structured backward.
+    Storing p trades one bf16 write+read of (BW, H, N, N) for the
+    backward's entire score-matmul + bias/mask-add + softmax recompute —
+    at Swin-B stage0 (H=4, dh=32) that recompute is VPU-bound and
+    dominates the block (docs/DESIGN.md). Emits
     y = proj(attention(LN(x))) WITHOUT the residual add — DropPath rides
     outside in XLA (the train path has stochastic depth, which a fused
-    residual could not honor). Softmax keeps the max-shift so the
-    backward's recompute matches."""
+    residual could not honor)."""
     m, d = x_ref.shape
 
     x_raw = x_ref[:]
@@ -237,7 +255,7 @@ def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
 
     _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_out_ref,
                            num_heads=num_heads, n=n, wb=wb, nw=nw, d=d,
-                           has_mask=has_mask, skip_max=False)
+                           has_mask=has_mask, p_ref=p_out_ref)
 
     out = jnp.dot(ctx_out_ref[:], wo_ref[:],
                   preferred_element_type=jnp.float32)
@@ -255,19 +273,18 @@ def _bwd_head_chunk(n: int, num_heads: int) -> int:
     return 1
 
 
-def _train_bwd_kernel(qkv_ref, da_ref, bias_ref, mask_ref,
-                      dqkv_ref, dbias_ref,
-                      *, num_heads: int, n: int, wb: int, nw: int,
-                      scale: float, has_mask: bool):
-    """Attention-core backward: given saved qkv and da = dL/d(ctx), emit
-    dqkv and the relative-position-bias gradient. Probabilities are
-    recomputed per (window, head-chunk) in VMEM — stashing (BW, H, N, N)
-    probabilities to HBM is exactly the bandwidth bill this kernel exists
-    to avoid. dbias accumulates across the sequential grid into one
-    (H*N, N) block (constant index map + "arbitrary" dimension semantics);
-    the shift mask is a constant — no gradient. All math in the natural
-    exp domain (same probabilities as the forward's exp2-with-shift up to
-    rounding)."""
+def _train_bwd_kernel(qkv_ref, p_ref, da_ref, dqkv_ref, dbias_ref,
+                      *, num_heads: int, n: int, wb: int, scale: float):
+    """Attention-core backward: given saved qkv, the forward's NORMALIZED
+    probability planes p (heads packed in lanes), and da = dL/d(ctx), emit
+    dqkv and the relative-position-bias gradient. No score or softmax
+    recompute: the stored p IS the forward's — exact consistency by
+    construction, and the recompute (one (N,dh)x(dh,N) matmul + bias/mask
+    adds + max + exp + normalize per (window, head)) was the VPU-bound
+    cost that made stage0/1 blocks 3x slower per block than stage2
+    (docs/DESIGN.md). dbias accumulates across the sequential grid into
+    one (H*N, N) block (constant index map + "arbitrary" dimension
+    semantics); the shift mask is a constant — no gradient."""
     m, d3 = qkv_ref.shape
     d = d3 // 3
     dh = d // num_heads
@@ -281,47 +298,29 @@ def _train_bwd_kernel(qkv_ref, da_ref, bias_ref, mask_ref,
     ch = _bwd_head_chunk(n, num_heads)
     for w in range(wb):
         rows = slice(w * n, (w + 1) * n)
-        if has_mask:
-            off = ((pid * wb + w) % nw) * n
-            m_w = mask_ref[pl.ds(off, n), :]
         for h0 in range(0, num_heads, ch):
             heads = range(h0, h0 + ch)
-            ss = []
-            for h in heads:                 # stage 1: score recompute
-                q = qkv[rows, h * dh:(h + 1) * dh]
-                k = qkv[rows, d + h * dh:d + (h + 1) * dh]
-                ss.append(jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            pss = []
-            for i, h in enumerate(heads):   # stage 2: softmax recompute
-                s = ss[i] * scale + bias_ref[h * n:(h + 1) * n, :]
-                if has_mask:
-                    s = s + m_w
-                s = s - jnp.max(s, axis=-1, keepdims=True)
-                p = jnp.exp(s)
-                pss.append(p / jnp.sum(p, axis=-1, keepdims=True))
+            pss = [p_ref[rows, h * n:(h + 1) * n] for h in heads]
             dps = []
-            for i, h in enumerate(heads):   # stage 3: dP matmuls
+            for i, h in enumerate(heads):   # stage 1: dP matmuls
                 v = qkv[rows, 2 * d + h * dh:2 * d + (h + 1) * dh]
                 da = da_ref[rows, h * dh:(h + 1) * dh]
                 dps.append(jax.lax.dot_general(
                     da, v, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32))
             dss = []
-            for i, h in enumerate(heads):   # stage 4: softmax bwd (VPU)
-                p = pss[i]
+            for i, h in enumerate(heads):   # stage 2: softmax bwd (VPU)
+                p = pss[i].astype(jnp.float32)
                 ds = p * (dps[i] - jnp.sum(dps[i] * p, axis=-1,
                                            keepdims=True))
                 dbias_ref[h * n:(h + 1) * n, :] += ds
                 dss.append((ds * scale).astype(qkv.dtype))
-            for i, h in enumerate(heads):   # stage 5: gradient matmuls
+            for i, h in enumerate(heads):   # stage 3: gradient matmuls
                 q = qkv[rows, h * dh:(h + 1) * dh]
                 k = qkv[rows, d + h * dh:d + (h + 1) * dh]
                 da = da_ref[rows, h * dh:(h + 1) * dh]
-                pb = pss[i].astype(qkv.dtype)
                 dv = jax.lax.dot_general(
-                    pb, da, (((0,), (0,)), ((), ())),
+                    pss[i], da, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 dq = jnp.dot(dss[i], k, preferred_element_type=jnp.float32)
                 dk = jax.lax.dot_general(
@@ -544,8 +543,9 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
 # --------------------------------------------------------------- training
 def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                            bias, mask, num_heads: int, ln_eps: float):
-    """Training forward: returns (y, qkv, ctx) with qkv/ctx flat
-    (BW*N, ·) — internal residuals consumed by the structured backward."""
+    """Training forward: returns (y, qkv, ctx, p) with qkv/ctx/p flat
+    (BW*N, ·) — internal residuals consumed by the structured backward;
+    p is the normalized probability planes, heads packed in lanes."""
     bw, n, c = xw.shape
     dh = c // num_heads
     scale = dh ** -0.5
@@ -567,12 +567,13 @@ def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     vec = lambda i: (0,)
     row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM)
-    y, qkv, ctx = pl.pallas_call(
+    y, qkv, ctx, p = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
             jax.ShapeDtypeStruct((bw * n, 3 * c), xw.dtype),
             jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
+            jax.ShapeDtypeStruct((bw * n, num_heads * n), xw.dtype),
         ),
         grid=(bw // wb,),
         in_specs=[
@@ -588,20 +589,23 @@ def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
             pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(row_spec(c), row_spec(3 * c), row_spec(c)),
+        out_specs=(row_spec(c), row_spec(3 * c), row_spec(c),
+                   row_spec(num_heads * n)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=28 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
-            bytes_accessed=6 * bw * n * c * xw.dtype.itemsize,
+            bytes_accessed=(6 * bw * n * c + bw * num_heads * n * n)
+                           * xw.dtype.itemsize,
             transcendentals=bw * num_heads * n * n),
     )(xf, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias_f, mask_f)
-    return y.reshape(bw, n, c), qkv, ctx
+    return y.reshape(bw, n, c), qkv, ctx, p
 
 
-def _swin_attn_bwd_pallas(qkv, da, bias, mask, num_heads: int, n: int):
-    """Backward kernel dispatch: (dqkv flat, dbias (H, N, N) f32)."""
+def _swin_attn_bwd_pallas(qkv, p, da, num_heads: int, n: int):
+    """Backward kernel dispatch: (dqkv flat, dbias (H, N, N) f32). `p` is
+    the forward's stored normalized probability planes (BW*N, H*N)."""
     m, c3 = qkv.shape
     c = c3 // 3
     dh = c // num_heads
@@ -609,17 +613,9 @@ def _swin_attn_bwd_pallas(qkv, da, bias, mask, num_heads: int, n: int):
     bw = m // n
     wb = pick_windows_per_program(bw, n, num_heads)
     assert wb > 0, "bwd dispatched for shapes the fwd gate rejected"
-    bias_f = bias.astype(jnp.float32).reshape(num_heads * n, n)
-    has_mask = mask is not None
-    if has_mask:
-        nw = mask.shape[0]
-        mask_f = mask.astype(jnp.float32).reshape(nw * n, n)
-    else:
-        nw = 1
-        mask_f = jnp.zeros((n, n), jnp.float32)
 
     kernel = functools.partial(_train_bwd_kernel, num_heads=num_heads, n=n,
-                               wb=wb, nw=nw, scale=scale, has_mask=has_mask)
+                               wb=wb, scale=scale)
     whole = lambda i: (0, 0)
     row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM)
@@ -632,11 +628,8 @@ def _swin_attn_bwd_pallas(qkv, da, bias, mask, num_heads: int, n: int):
         grid=(bw // wb,),
         in_specs=[
             row_spec(3 * c),
+            row_spec(num_heads * n),
             row_spec(c),
-            pl.BlockSpec((num_heads * n, n), whole,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
-                         memory_space=pltpu.VMEM),
         ],
         # dbias accumulates across the grid into ONE block -> the grid dim
         # must be sequential ("arbitrary"), not "parallel"
@@ -647,10 +640,11 @@ def _swin_attn_bwd_pallas(qkv, da, bias, mask, num_heads: int, n: int):
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=28 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=8 * bw * num_heads * n * n * dh,
-            bytes_accessed=4 * m * c * qkv.dtype.itemsize,
-            transcendentals=bw * num_heads * n * n),
-    )(qkv, da, bias_f, mask_f)
+            flops=6 * bw * num_heads * n * n * dh,
+            bytes_accessed=(4 * m * c + m * num_heads * n)
+                           * qkv.dtype.itemsize,
+            transcendentals=0),
+    )(qkv, p, da)
     return dqkv, dbias.reshape(num_heads, n, n)
 
 
@@ -660,27 +654,29 @@ def fused_swin_attn_train(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     """y = proj(window_attention(LN(xw))) on pre-partitioned windows — the
     TRAINING half-block (no residual: DropPath + residual ride outside in
     XLA). Differentiable with a STRUCTURED backward: the forward saves the
-    qkv projections and attention context; the backward runs a Pallas
-    attention-core kernel for dqkv and the relative-position-bias gradient
-    (probabilities recomputed in VMEM, N^2 never hits HBM) plus plain XLA
-    matmuls for the weight gradients and an exact LayerNorm VJP. Caller
-    must check `swin_block_kernel_ok` first."""
-    y, _, _ = _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv,
-                                     wo, bo, bias, mask, num_heads, ln_eps)
+    qkv projections, attention context, and normalized probability planes;
+    the backward runs a Pallas attention-core kernel for dqkv and the
+    relative-position-bias gradient (reusing the stored probabilities —
+    no score/softmax recompute) plus plain XLA matmuls for the weight
+    gradients and an exact LayerNorm VJP. Caller must check
+    `swin_block_kernel_ok` first."""
+    y, _, _, _ = _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv,
+                                        wo, bo, bias, mask, num_heads,
+                                        ln_eps)
     return y
 
 
 def _train_fwd(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
                num_heads, ln_eps):
-    y, qkv, ctx = _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv,
-                                         wo, bo, bias, mask, num_heads,
-                                         ln_eps)
+    y, qkv, ctx, p = _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv,
+                                            bqkv, wo, bo, bias, mask,
+                                            num_heads, ln_eps)
     return y, (xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, qkv,
-               ctx)
+               ctx, p)
 
 
 def _train_bwd(num_heads, ln_eps, res, g):
-    xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, qkv, ctx = res
+    xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, qkv, ctx, p = res
     bw, n, c = xw.shape
 
     gf = g.reshape(bw * n, c).astype(jnp.float32)
@@ -688,7 +684,7 @@ def _train_bwd(num_heads, ln_eps, res, g):
     # y = ctx @ wo + bo
     da = jnp.dot(gb, wo.T, preferred_element_type=jnp.float32
                  ).astype(xw.dtype)
-    dqkv, dbias = _swin_attn_bwd_pallas(qkv, da, bias, mask, num_heads, n)
+    dqkv, dbias = _swin_attn_bwd_pallas(qkv, p, da, num_heads, n)
     dwo = jnp.dot(ctx.T, gb,
                   preferred_element_type=jnp.float32).astype(wo.dtype)
     dbo = jnp.sum(gf, axis=0).astype(bo.dtype)
