@@ -200,6 +200,162 @@ def bench_train_step(args):
           f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
 
 
+def bench_swin_eval(args):
+    """--swin-eval: Swin-B-384 descriptor/backbone forward throughput in
+    the w8a8 serving configuration (fused Pallas attention half-block +
+    int8 MLPs/attention projections) — the geopose serving path of the
+    reference's best run (`swin_transformer/swin_attempt_2.py`). Prints
+    int8-vs-bf16 pooled-output fidelity every run."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from geovpr.models.swin import SwinTransformer, SWIN_VARIANTS
+
+    int8 = not args.bf16
+    if args.smoke:
+        model = SwinTransformer(embed_dim=128, depths=(2, 2),
+                                num_heads=(4, 8), window_size=12,
+                                image_size=96, patch_size=4,
+                                drop_path_rate=0.0, int8_mlp=int8,
+                                int8_attn=int8, dtype=jnp.bfloat16)
+        batch, iters = args.batch or 4, 2
+    else:
+        model = SwinTransformer(**SWIN_VARIANTS["base-384"],
+                                drop_path_rate=0.0, int8_mlp=int8,
+                                int8_attn=int8, dtype=jnp.bfloat16)
+        batch, iters = args.batch or 64, args.iters
+    size = model.image_size
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, size, size, 3)))
+    if int8:
+        from geovpr.models.quantize import quantize_for_serving
+
+        calib = jax.random.normal(jax.random.PRNGKey(2),
+                                  (min(batch, 16), size, size, 3),
+                                  jnp.bfloat16)
+        variables = quantize_for_serving(model, variables, [calib])
+        bf16_model = model.clone(int8_mlp=False, int8_attn=False)
+        d_bf = np.asarray(jax.jit(
+            lambda v, x: bf16_model.apply(v, x).pooled)(variables, calib),
+            np.float32)
+        d_q = np.asarray(jax.jit(
+            lambda v, x: model.apply(v, x).pooled)(variables, calib),
+            np.float32)
+        cos = (d_bf * d_q).sum(-1) / (
+            np.linalg.norm(d_bf, axis=-1) * np.linalg.norm(d_q, axis=-1))
+        print(f"# int8 swin fidelity vs bf16: cosine min={cos.min():.5f} "
+              f"mean={cos.mean():.5f}", file=sys.stderr)
+
+    @jax.jit
+    def run(v, images):
+        def body(imgs, _):
+            out = model.apply(v, imgs).pooled
+            imgs = imgs + (out.mean() * 1e-24).astype(imgs.dtype)
+            return imgs, out[0, 0]
+        _, probes = jax.lax.scan(body, images, None, length=iters)
+        return probes
+
+    images = jax.random.normal(jax.random.PRNGKey(1),
+                               (batch, size, size, 3), jnp.bfloat16)
+    jax.device_get(run(variables, images))
+    reps = 2 if args.smoke else 3
+    times = []
+    for r in range(reps):
+        im = images * (1.0 + 0.03 * r)
+        im.block_until_ready()
+        t0 = time.perf_counter()
+        jax.device_get(run(variables, im))
+        times.append((time.perf_counter() - t0) / iters)
+    best = min(times)
+    img_per_sec = batch / best
+    print(json.dumps({
+        "metric": "swin_b384_eval_throughput" + ("_int8" if int8 else ""),
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / 5000.0, 4),
+    }))
+    print(f"# backend={jax.default_backend()} batch={batch} "
+          f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
+
+
+def bench_swin_train(args):
+    """--swin-train: Swin-B-384 fine-tune step throughput — Huber + AdamW
+    + MLP head + stochastic depth, donated state (the reference's best
+    geopose recipe, `swin_transformer/swin_attempt_2.py:157-159`).
+    Exercises the stored-probability structured Pallas backward."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from geovpr.models.swin import SwinTransformer, SWIN_VARIANTS
+
+    if args.smoke:
+        model = SwinTransformer(embed_dim=128, depths=(2, 2),
+                                num_heads=(4, 8), window_size=12,
+                                image_size=96, patch_size=4,
+                                drop_path_rate=0.1, dtype=jnp.bfloat16)
+        batch, iters = args.batch or 2, 2
+        head_dim = 256
+    else:
+        model = SwinTransformer(**SWIN_VARIANTS["base-384"],
+                                drop_path_rate=0.1, dtype=jnp.bfloat16)
+        batch, iters = args.batch or 32, min(args.iters, 6)
+        head_dim = 1024
+    size = model.image_size
+
+    v = jax.jit(model.init)(jax.random.PRNGKey(0),
+                            jnp.zeros((1, size, size, 3)))
+    head = jax.random.normal(jax.random.PRNGKey(1), (head_dim, 2),
+                             jnp.float32) * 0.01
+    params = {"bb": v["params"], "head": head}
+    tx = optax.adamw(5e-5, weight_decay=0.01)
+    opt_state = tx.init(params)
+    images = jax.random.normal(jax.random.PRNGKey(2),
+                               (batch, size, size, 3), jnp.bfloat16)
+    targets = jax.random.normal(jax.random.PRNGKey(3), (batch, 2))
+
+    def loss_fn(p, im):
+        out = model.apply({"params": p["bb"]}, im, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(0)})
+        pred = out.pooled.astype(jnp.float32) @ p["head"]
+        return optax.huber_loss(pred, targets, delta=1.0).mean()
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, images):
+        def body(carry, _):
+            params, opt_state, images = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, images)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            images = images * (1.0 + (loss * 1e-24).astype(images.dtype))
+            return (params, opt_state, images), loss
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, images), None, length=iters)
+        return params, opt_state, losses
+
+    params, opt_state, losses = run(params, opt_state, images)
+    jax.device_get(losses)
+    reps = 2 if args.smoke else 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        params, opt_state, losses = run(params, opt_state, images)
+        jax.device_get(losses)
+        times.append((time.perf_counter() - t0) / iters)
+    best = min(times)
+    img_per_sec = batch / best
+    print(json.dumps({
+        "metric": "swin_b384_train_step_throughput",
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / 5000.0, 4),
+    }))
+    print(f"# backend={jax.default_backend()} batch={batch} "
+          f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -212,6 +368,14 @@ def main():
     parser.add_argument("--train", action="store_true",
                         help="benchmark the fine-tune train step instead "
                              "(DINOv2-B + MLP head, Huber, AdamW)")
+    parser.add_argument("--swin-eval", action="store_true",
+                        help="benchmark the Swin-B-384 serving forward "
+                             "(fused Pallas attention + w8a8 unless "
+                             "--bf16)")
+    parser.add_argument("--swin-train", action="store_true",
+                        help="benchmark the Swin-B-384 fine-tune step "
+                             "(Huber + AdamW, stored-p structured Pallas "
+                             "backward)")
     parser.add_argument("--int8", action="store_true",
                         help="(default) w8a8 serving path: quantized MLPs + "
                              "attention projections with static calibrated "
@@ -227,6 +391,12 @@ def main():
 
     if args.from_jpeg:
         bench_input_pipeline(args)
+        return
+    if args.swin_eval:
+        bench_swin_eval(args)
+        return
+    if args.swin_train:
+        bench_swin_train(args)
         return
     if args.train:
         bench_train_step(args)
