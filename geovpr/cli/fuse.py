@@ -195,8 +195,8 @@ def main(argv=None):
         pipe.descriptor_model = model
         pipe.descriptor_variables = variables
         pipe.descriptor_size = args.salad_image_size
-        pipe.index = DescriptorIndex(dim=g_desc.shape[-1],
-                                     mesh=mesh).build(g_desc)
+        pipe.index = DescriptorIndex(dim=g_desc.shape[-1], mesh=mesh,
+                                     quantize=args.int8).build(g_desc)
         pipe.gallery_filenames = gallery.filenames
         sizes.append(args.salad_image_size)
         batch_sizes.append(64)

@@ -126,7 +126,10 @@ def main(argv=None):
     q_desc = extract_descriptors(model, variables, source(queries),
                                  args.batch_size, mesh)
 
-    index = DescriptorIndex(dim=g_desc.shape[-1], mesh=mesh).build(g_desc)
+    # --int8 also quantizes the INDEX: int8 rows + per-row scales (4x HBM
+    # capacity, int8 MXU score matmul) — one serving-fidelity knob
+    index = DescriptorIndex(dim=g_desc.shape[-1], mesh=mesh,
+                            quantize=args.int8).build(g_desc)
     scores, nbrs = index.search(jnp.asarray(q_desc), k=args.top_k)
     scores, nbrs = np.asarray(scores), np.asarray(nbrs)
 

@@ -118,3 +118,57 @@ class TestRebuildInvalidatesCache:
         s_ref, i_ref = plain.search(q, k=4)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
         np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=1e-5)
+
+
+class TestQuantizedIndex:
+    """int8 database quantization: per-row symmetric PTQ after L2
+    normalization, int8 x int8 -> int32 score matmul, rank-1 scale
+    restore (DescriptorIndex(quantize=True))."""
+
+    def test_scores_match_f32_within_rounding(self):
+        rng = np.random.default_rng(7)
+        db = _unit(rng, 128, 256)
+        q = _unit(rng, 9, 256)
+        qi = DescriptorIndex(dim=256, quantize=True).build(db)
+        fi = DescriptorIndex(dim=256, dtype=jnp.float32).build(db)
+        s_q, _ = qi.search(jnp.array(q), k=5)
+        s_f, _ = fi.search(jnp.array(q), k=5)
+        # per-component rounding is <= 1/254 of the row amax; at D=256 the
+        # accumulated inner-product error stays well under 1e-2
+        np.testing.assert_allclose(np.asarray(s_q), np.asarray(s_f),
+                                   atol=1e-2)
+
+    def test_top1_recall_survives_quantization(self):
+        rng = np.random.default_rng(8)
+        db = _unit(rng, 512, 128)
+        q = db + 0.02 * rng.normal(size=db.shape).astype(np.float32)
+        index = DescriptorIndex(dim=128, quantize=True).build(db)
+        _, idx = index.search(jnp.array(q), k=1)
+        r1 = recall_at_k(idx, jnp.arange(512), k=1)
+        assert float(r1) > 0.99
+
+    def test_sharded_quantized_matches_unsharded(self):
+        rng = np.random.default_rng(9)
+        db = _unit(rng, 103, 64)  # not divisible by 8 -> padded rows
+        q = _unit(rng, 7, 64)
+        mesh = create_mesh()
+        sharded = DescriptorIndex(dim=64, mesh=mesh, quantize=True).build(db)
+        plain = DescriptorIndex(dim=64, quantize=True).build(db)
+        s1, i1 = sharded.search(jnp.array(q), k=4)
+        s2, i2 = plain.search(jnp.array(q), k=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+
+    def test_quantized_padded_rows_never_leak(self):
+        rng = np.random.default_rng(10)
+        base = rng.normal(size=(1, 16)).astype(np.float32)
+        base /= np.linalg.norm(base)
+        gallery = -np.abs(rng.uniform(0.2, 1.0, (5, 1))).astype(np.float32) \
+            * base + rng.normal(0, 1e-3, (5, 16)).astype(np.float32)
+        index = DescriptorIndex(dim=16, mesh=create_mesh(),
+                                quantize=True).build(
+            jnp.asarray(gallery), normalized=False)
+        scores, idx = index.search(jnp.asarray(base), k=3)
+        idx = np.asarray(idx)
+        assert (idx < 5).all(), f"padded row leaked into top-k: {idx}"
+        assert (np.asarray(scores) < 0).all()
