@@ -54,6 +54,12 @@ def main(argv=None):
     p.add_argument("--gallery-csv", default="",
                    help="manifest of gallery images to index; enables the "
                         "retrieval component (requires --image-root)")
+    p.add_argument("--save-index", default="",
+                   help="persist the built gallery index (+ filenames) to "
+                        "this .npz (see geovpr.retrieval.index.save_index)")
+    p.add_argument("--load-index", default="",
+                   help="enable the retrieval component from a previously "
+                        "saved index instead of --gallery-csv")
     p.add_argument("--image-root", default="",
                    help="image root for --gallery-csv rows")
     p.add_argument("--salad-variables", default="",
@@ -73,12 +79,12 @@ def main(argv=None):
 
     geo = bool(args.geopose_preset and args.geopose_run)
     ang = bool(args.angle_preset and args.angle_run)
-    retr = bool(args.gallery_csv)
+    retr = bool(args.gallery_csv or args.load_index)
     if bool(args.geopose_preset) != bool(args.geopose_run) or \
             bool(args.angle_preset) != bool(args.angle_run):
         raise SystemExit("--geopose-preset/--geopose-run (and the angle "
                          "pair) must be given together")
-    if retr and not args.image_root:
+    if args.gallery_csv and not args.image_root:
         raise SystemExit("--gallery-csv requires --image-root")
     if not geo and not ang and not retr:
         raise SystemExit("need at least one component: geopose "
@@ -175,29 +181,48 @@ def main(argv=None):
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, args.salad_image_size, args.salad_image_size,
                            3)))
-        gallery = load_manifest(args.gallery_csv, args.image_root)
-        g_source = ImageFolderSource(paths=gallery.paths(),
-                                     targets=np.asarray(gallery.latlon),
-                                     image_size=args.salad_image_size,
-                                     filenames=gallery.filenames)
+        if args.load_index:
+            g_source = ImageFolderSource(
+                paths=paths, targets=np.zeros((len(names), 1), np.float32),
+                image_size=args.salad_image_size, filenames=names)
+        else:
+            gallery = load_manifest(args.gallery_csv, args.image_root)
+            g_source = ImageFolderSource(paths=gallery.paths(),
+                                         targets=np.asarray(gallery.latlon),
+                                         image_size=args.salad_image_size,
+                                         filenames=gallery.filenames)
         if args.int8:
             from geovpr.data.pipeline import iterate_batches
             from geovpr.data.transforms import normalize
             from geovpr.models.quantize import quantize_for_serving
 
+            # calibrate on gallery images, or (when serving from a saved
+            # index) on the test images themselves — same camera domain
             batch = next(iter(iterate_batches(g_source,
                                               args.batch_size or 64)))
             variables = quantize_for_serving(
                 model, variables, [normalize(jnp.asarray(batch["image"]))])
-        g_desc = extract_descriptors(model, variables, g_source,
-                                     batch_size=args.batch_size or 64,
-                                     mesh=mesh)
         pipe.descriptor_model = model
         pipe.descriptor_variables = variables
         pipe.descriptor_size = args.salad_image_size
-        pipe.index = DescriptorIndex(dim=g_desc.shape[-1], mesh=mesh,
-                                     quantize=args.int8).build(g_desc)
-        pipe.gallery_filenames = gallery.filenames
+        if args.load_index:
+            from geovpr.retrieval.index import load_index
+            pipe.index, meta = load_index(args.load_index, mesh)
+            pipe.gallery_filenames = (
+                list(meta["filenames"]) if "filenames" in meta else
+                [f"row_{i}" for i in range(pipe.index.size)])
+        else:
+            g_desc = extract_descriptors(model, variables, g_source,
+                                         batch_size=args.batch_size or 64,
+                                         mesh=mesh)
+            pipe.index = DescriptorIndex(dim=g_desc.shape[-1], mesh=mesh,
+                                         quantize=args.int8).build(g_desc)
+            pipe.gallery_filenames = gallery.filenames
+            if args.save_index:
+                from geovpr.retrieval.index import save_index
+                save_index(pipe.index, args.save_index,
+                           filenames=gallery.filenames,
+                           latlon=np.asarray(gallery.latlon, np.float32))
         sizes.append(args.salad_image_size)
         batch_sizes.append(64)
 

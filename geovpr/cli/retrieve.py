@@ -6,7 +6,13 @@ exists anywhere in the snapshot, SURVEY.md §0).
     python -m geovpr.cli.retrieve \
         --gallery-csv labels_train.csv --query-csv labels_val.csv \
         --image-root dataset/images --out-dir out \
-        [--variables salad.msgpack] [--top-k 5] [--positive-radius 25]
+        [--variables salad.msgpack] [--top-k 5] [--positive-radius 25] \
+        [--save-index gallery.npz]
+
+Build-once/serve-many: `--save-index` persists the built index (int8 rows +
+scales when --int8, plus gallery filenames/latlon) to one .npz; later runs
+pass `--load-index gallery.npz` instead of --gallery-csv and skip gallery
+extraction entirely.
 
 Extracts DINOv2+SALAD descriptors for gallery and queries (jit-batched,
 bf16), builds an HBM-resident index sharded over the mesh's data axis,
@@ -54,8 +60,16 @@ def extract_descriptors(model, variables, source, batch_size: int,
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--gallery-csv", required=True)
+    p.add_argument("--gallery-csv", default="",
+                   help="gallery manifest (required unless --load-index)")
     p.add_argument("--query-csv", required=True)
+    p.add_argument("--save-index", default="",
+                   help="persist the built gallery index (+ filenames and "
+                        "latlon metadata) to this .npz for build-once/"
+                        "serve-many")
+    p.add_argument("--load-index", default="",
+                   help="serve from a previously saved index instead of "
+                        "extracting gallery descriptors")
     p.add_argument("--image-root", required=True)
     p.add_argument("--out-dir", default="retrieval_out")
     p.add_argument("--variables", default="",
@@ -81,10 +95,14 @@ def main(argv=None):
     from geovpr.data.pipeline import ImageFolderSource
     from geovpr.models.salad import DinoV2Salad
     from geovpr.parallel import create_mesh
-    from geovpr.retrieval.index import DescriptorIndex, recall_at_k_radius
+    from geovpr.retrieval.index import (DescriptorIndex, load_index,
+                                        recall_at_k_radius, save_index)
 
+    if not args.gallery_csv and not args.load_index:
+        p.error("either --gallery-csv or --load-index is required")
     os.makedirs(args.out_dir, exist_ok=True)
-    gallery = load_manifest(args.gallery_csv, args.image_root)
+    gallery = (load_manifest(args.gallery_csv, args.image_root)
+               if args.gallery_csv else None)
     queries = load_manifest(args.query_csv, args.image_root)
 
     model = DinoV2Salad(variant=args.variant, image_size=args.image_size,
@@ -106,9 +124,11 @@ def main(argv=None):
         from geovpr.data.transforms import normalize
         from geovpr.models.quantize import quantize_for_serving
 
+        calib_manifest = gallery if gallery is not None else queries
         calib_src = ImageFolderSource(
-            paths=gallery.paths(), targets=np.asarray(gallery.latlon),
-            image_size=args.image_size, filenames=gallery.filenames)
+            paths=calib_manifest.paths(),
+            targets=np.asarray(calib_manifest.latlon),
+            image_size=args.image_size, filenames=calib_manifest.filenames)
         batch = next(iter(iterate_batches(calib_src, args.batch_size)))
         # calibrate on what the model actually sees: normalized images
         calib = normalize(jnp.asarray(batch["image"]))
@@ -121,34 +141,51 @@ def main(argv=None):
                                  filenames=m.filenames)
 
     mesh = create_mesh()
-    g_desc = extract_descriptors(model, variables, source(gallery),
-                                 args.batch_size, mesh)
+    if args.load_index:
+        index, meta = load_index(args.load_index, mesh)
+        gallery_filenames = (list(meta["filenames"])
+                             if "filenames" in meta else
+                             [f"row_{i}" for i in range(index.size)])
+        gallery_latlon = meta.get("latlon")
+    else:
+        g_desc = extract_descriptors(model, variables, source(gallery),
+                                     args.batch_size, mesh)
+        # --int8 also quantizes the INDEX: int8 rows + per-row scales (4x
+        # HBM capacity, int8 MXU score matmul) — one serving-fidelity knob
+        index = DescriptorIndex(dim=g_desc.shape[-1], mesh=mesh,
+                                quantize=args.int8).build(g_desc)
+        gallery_filenames = gallery.filenames
+        gallery_latlon = np.asarray(gallery.latlon, np.float32)
+        if args.save_index:
+            save_index(index, args.save_index,
+                       filenames=gallery_filenames, latlon=gallery_latlon)
+
     q_desc = extract_descriptors(model, variables, source(queries),
                                  args.batch_size, mesh)
-
-    # --int8 also quantizes the INDEX: int8 rows + per-row scales (4x HBM
-    # capacity, int8 MXU score matmul) — one serving-fidelity knob
-    index = DescriptorIndex(dim=g_desc.shape[-1], mesh=mesh,
-                            quantize=args.int8).build(g_desc)
     scores, nbrs = index.search(jnp.asarray(q_desc), k=args.top_k)
     scores, nbrs = np.asarray(scores), np.asarray(nbrs)
 
-    recalls = {
-        f"recall@{k}": float(recall_at_k_radius(
-            jnp.asarray(nbrs), jnp.asarray(queries.latlon, jnp.float32),
-            jnp.asarray(gallery.latlon, jnp.float32),
-            args.positive_radius, k))
-        for k in (1, min(5, args.top_k), args.top_k)
-    }
+    recalls = {}
+    if gallery_latlon is not None:
+        recalls = {
+            f"recall@{k}": float(recall_at_k_radius(
+                jnp.asarray(nbrs), jnp.asarray(queries.latlon, jnp.float32),
+                jnp.asarray(gallery_latlon, jnp.float32),
+                args.positive_radius, k))
+            for k in (1, min(5, args.top_k), args.top_k)
+        }
 
     from geovpr.pipeline.export import write_retrieval_matches_csv
     path = os.path.join(args.out_dir, "retrieval_matches.csv")
-    write_retrieval_matches_csv(path, queries.filenames, gallery.filenames,
+    write_retrieval_matches_csv(path, queries.filenames, gallery_filenames,
                                 nbrs, scores)
 
-    print(json.dumps({"gallery_size": index.size,
-                      "num_queries": len(queries.filenames),
-                      **recalls, "matches_csv": path}))
+    out = {"gallery_size": index.size,
+           "num_queries": len(queries.filenames),
+           **recalls, "matches_csv": path}
+    if args.save_index:
+        out["saved_index"] = args.save_index
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -93,35 +93,43 @@ class DescriptorIndex:
 
     def build(self, descriptors: jax.Array | np.ndarray,
               normalized: bool = True) -> "DescriptorIndex":
-        # the cached searchers bake in THIS build's n_real/shard_rows/local_k;
-        # a rebuild with a different database size would silently reuse stale
-        # offsets and padded-row masks, returning wrong neighbors
-        self._search_cache.clear()
         x = jnp.asarray(descriptors)
         if x.shape[-1] != self.dim:
             raise ValueError(f"descriptor dim {x.shape[-1]} != index dim {self.dim}")
         if not normalized:
             x = normalize_l2(x)
-        self._n = x.shape[0]
+        if self.quantize:
+            self._install(*_quantize_rows(x))
+        else:
+            self._install(x.astype(self.dtype), None)
+        return self
+
+    def _install(self, rows: jax.Array, scale: Optional[jax.Array]):
+        """Place (already-quantized/cast) database rows on device, sharded
+        over the mesh's data axis when one is attached. Shared by `build`
+        and `load`."""
+        # the cached searchers bake in THIS build's n_real/shard_rows/local_k;
+        # a rebuild with a different database size would silently reuse stale
+        # offsets and padded-row masks, returning wrong neighbors
+        self._search_cache.clear()
+        self._n = rows.shape[0]
         if self.mesh is not None:
             n_shards = self.mesh.shape[self.axis]
             pad = (-self._n) % n_shards
             if pad:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((pad, self.dim), x.dtype)], axis=0)
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((pad, self.dim), rows.dtype)], axis=0)
+                if scale is not None:
+                    scale = jnp.concatenate(
+                        [scale, jnp.ones((pad,), scale.dtype)])
             sharding = NamedSharding(self.mesh, P(self.axis, None))
-            if self.quantize:
-                q, scale = _quantize_rows(x)
-                self._db = jax.device_put(q, sharding)
+            self._db = jax.device_put(rows, sharding)
+            if scale is not None:
                 self._db_scale = jax.device_put(
                     scale, NamedSharding(self.mesh, P(self.axis)))
-            else:
-                self._db = jax.device_put(x.astype(self.dtype), sharding)
-        elif self.quantize:
-            self._db, self._db_scale = _quantize_rows(x)
         else:
-            self._db = x.astype(self.dtype)
-        return self
+            self._db = rows
+            self._db_scale = scale
 
     @property
     def size(self) -> int:
@@ -211,6 +219,64 @@ class DescriptorIndex:
             check_vma=False)
         self._search_cache[k] = jax.jit(fn)
         return self._search_cache[k](*db_args, *q_args)
+
+
+def save_index(index: DescriptorIndex, path: str,
+               filenames=None, latlon=None) -> None:
+    """Persist a built index to one `.npz` (int8 rows + per-row scales when
+    quantized; bf16 rows stored as their uint16 bit pattern — numpy has no
+    native bfloat16). Optional gallery metadata (filenames, latlon) rides
+    along so a serving process needs only this one artifact. The reference
+    has no retrieval at all (SURVEY.md §0) — build-once/serve-many is the
+    production shape of the new capability."""
+    if index._db is None:
+        raise ValueError("index not built")
+    rows = np.asarray(jax.device_get(index._db))[:index._n]
+    payload = {
+        "dim": np.int64(index.dim),
+        "n": np.int64(index._n),
+        "quantize": np.bool_(index.quantize),
+    }
+    if index.quantize:
+        payload["rows_int8"] = rows
+        payload["row_scale"] = np.asarray(
+            jax.device_get(index._db_scale))[:index._n]
+    elif rows.dtype == jnp.bfloat16:
+        payload["rows_bf16_bits"] = rows.view(np.uint16)
+    else:
+        payload["rows"] = rows
+    if filenames is not None:
+        payload["filenames"] = np.asarray(filenames, dtype=np.str_)
+    if latlon is not None:
+        payload["latlon"] = np.asarray(latlon, np.float32)
+    with open(path, "wb") as f:
+        np.savez(f, **payload)
+
+
+def load_index(path: str, mesh: Optional[Mesh] = None, axis: str = "data"):
+    """Load an index saved by `save_index`. Returns (index, meta) where meta
+    holds any gallery metadata that was stored ({"filenames", "latlon"}).
+    Quantized rows are installed as-is — no requantization, so save/load
+    round-trips bit-exactly; sharding follows the (possibly different)
+    mesh passed here."""
+    with np.load(path) as z:
+        dim = int(z["dim"])
+        quantize = bool(z["quantize"])
+        if quantize:
+            rows = jnp.asarray(z["rows_int8"])
+            scale = jnp.asarray(z["row_scale"])
+            dtype = jnp.bfloat16
+        elif "rows_bf16_bits" in z:
+            rows = jnp.asarray(z["rows_bf16_bits"]).view(jnp.bfloat16)
+            scale, dtype = None, jnp.bfloat16
+        else:
+            rows = jnp.asarray(z["rows"])
+            scale, dtype = None, rows.dtype
+        meta = {k: z[k] for k in ("filenames", "latlon") if k in z}
+    index = DescriptorIndex(dim=dim, dtype=dtype, mesh=mesh, axis=axis,
+                            quantize=quantize)
+    index._install(rows, scale)
+    return index, meta
 
 
 def recall_at_k_radius(retrieved_idx: jax.Array, query_latlon: jax.Array,

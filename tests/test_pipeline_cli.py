@@ -211,6 +211,34 @@ class TestRetrieveCli:
             "q_000.jpg", "q_001.jpg", "q_002.jpg"}
 
 
+    def test_save_then_load_index(self, tmp_path, capsys):
+        """Build-once/serve-many: --save-index persists the gallery index +
+        metadata; a second run with --load-index (no gallery CSV at all)
+        reproduces the exact same matches CSV."""
+        import json
+        from geovpr.cli.retrieve import main
+
+        root = str(tmp_path)
+        img_dir = self._write_dataset(root, n_gallery=8, n_query=2)
+        idx_path = os.path.join(root, "gallery_index.npz")
+        common = ["--query-csv", os.path.join(root, "query.csv"),
+                  "--image-root", img_dir,
+                  "--variant", "small-14", "--image-size", "28",
+                  "--batch-size", "4", "--top-k", "3"]
+        main(["--gallery-csv", os.path.join(root, "gallery.csv"),
+              "--out-dir", os.path.join(root, "out1"),
+              "--save-index", idx_path] + common)
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out1["saved_index"] == idx_path
+
+        main(["--load-index", idx_path,
+              "--out-dir", os.path.join(root, "out2")] + common)
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out2["gallery_size"] == 8
+        assert out2["recall@1"] == out1["recall@1"]
+        with open(out1["matches_csv"]) as f1, open(out2["matches_csv"]) as f2:
+            assert f1.read() == f2.read()
+
     def test_end_to_end_int8(self, tmp_path, capsys):
         """--int8 serving path: calibrates on the first gallery batch and
         produces the same shaped outputs (fidelity itself is covered by
@@ -410,6 +438,39 @@ class TestFuseCliRetrieval:
         assert len(rows) == 4 * 2
         assert set(r["query_filename"] for r in rows) == {
             f"t_{i:02d}.jpg" for i in range(4)}
+
+    def test_retrieval_fuse_save_then_load_index(self, tmp_path, capsys):
+        """Fuse with --save-index, then again with --load-index (no gallery
+        CSV): identical retrieval CSV, no gallery re-extraction."""
+        import json
+        from geovpr.cli.fuse import main
+
+        root = str(tmp_path)
+        img_dir = TestRetrieveCli()._write_dataset(root, n_gallery=6,
+                                                   n_query=0)
+        test_dir = os.path.join(root, "test")
+        os.makedirs(test_dir)
+        from PIL import Image
+        rng = np.random.default_rng(3)
+        for i in range(3):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3))
+                            .astype(np.uint8)).save(
+                os.path.join(test_dir, f"t_{i:02d}.jpg"))
+        idx_path = os.path.join(root, "gallery_index.npz")
+        common = ["--test-dir", test_dir,
+                  "--salad-variant", "small-14", "--salad-image-size", "28",
+                  "--top-k", "2", "--batch-size", "4"]
+        main(common + ["--gallery-csv", os.path.join(root, "gallery.csv"),
+                       "--image-root", img_dir,
+                       "--save-index", idx_path,
+                       "--out-dir", os.path.join(root, "out1")])
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        main(common + ["--load-index", idx_path,
+                       "--out-dir", os.path.join(root, "out2")])
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        with open(out1["retrieval_csv"]) as f1, \
+                open(out2["retrieval_csv"]) as f2:
+            assert f1.read() == f2.read()
 
     def test_retrieval_only_fuse_int8(self, tmp_path, capsys):
         """--int8 on the fused retrieval component: calibrate on the first

@@ -159,6 +159,51 @@ class TestQuantizedIndex:
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
 
+    def test_save_load_roundtrip_bitexact(self, tmp_path):
+        """save_index/load_index: quantized rows+scales reload verbatim (no
+        requantization), searches match the original index exactly, and the
+        gallery metadata rides along."""
+        from geovpr.retrieval.index import load_index, save_index
+
+        rng = np.random.default_rng(11)
+        db = _unit(rng, 57, 96)
+        q = _unit(rng, 4, 96)
+        names = [f"img_{i:04d}.jpg" for i in range(57)]
+        latlon = rng.uniform(0, 100, (57, 2)).astype(np.float32)
+        index = DescriptorIndex(dim=96, quantize=True).build(db)
+        path = str(tmp_path / "gallery.npz")
+        save_index(index, path, filenames=names, latlon=latlon)
+
+        loaded, meta = load_index(path)
+        assert loaded.size == 57 and loaded.quantize
+        assert list(meta["filenames"]) == names
+        np.testing.assert_array_equal(meta["latlon"], latlon)
+        s1, i1 = index.search(jnp.array(q), k=5)
+        s2, i2 = loaded.search(jnp.array(q), k=5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    def test_save_load_bf16_and_onto_mesh(self, tmp_path):
+        """bf16 rows survive the uint16 bit-pattern trip, and an index saved
+        unsharded can be loaded onto a different topology (the 8-device
+        mesh) with identical results."""
+        from geovpr.retrieval.index import load_index, save_index
+
+        rng = np.random.default_rng(12)
+        db = _unit(rng, 41, 64)   # not divisible by 8 -> padding on load
+        q = _unit(rng, 3, 64)
+        index = DescriptorIndex(dim=64, dtype=jnp.bfloat16).build(db)
+        path = str(tmp_path / "gallery_bf16.npz")
+        save_index(index, path)
+
+        loaded, meta = load_index(path, mesh=create_mesh())
+        assert meta == {}
+        s1, i1 = index.search(jnp.array(q), k=4)
+        s2, i2 = loaded.search(jnp.array(q), k=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-5)
+
     def test_quantized_padded_rows_never_leak(self):
         rng = np.random.default_rng(10)
         base = rng.normal(size=(1, 16)).astype(np.float32)
