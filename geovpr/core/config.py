@@ -145,6 +145,17 @@ class TrainConfig:
     # jit-purity/NaN debugging (§5 "Race detection / sanitizers" analog):
     # turns on jax_debug_nans for the whole run.
     debug_nans: bool = False
+    # Frozen-feature cache: when the backbone is fully frozen
+    # (ModelConfig.freeze_backbone) and there is no augmentation, its
+    # features are identical every epoch — extract them ONCE and train the
+    # head on cached features. The reference recomputes the frozen forward
+    # every step for 100 epochs (dinov2salad_finetuning.py:35-36,
+    # `with no_grad(): features = feature_extractor(x)`); caching makes
+    # epochs head-bound instead of backbone-bound (~1000x fewer FLOPs for
+    # the 8448->512->512->2 MLP). Trajectory is provably identical — the
+    # cached features are the same arrays the full forward would produce
+    # (tests/test_train.py TestFrozenFeatureCache).
+    cache_frozen_features: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

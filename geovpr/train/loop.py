@@ -156,6 +156,17 @@ class Trainer:
                 and start_epoch >= self.optim_cfg.freeze_backbone_epochs):
             self._unfreeze()
 
+        # frozen-feature cache: with a fully-frozen backbone and no
+        # augmentation, extract features ONCE and train the head on them —
+        # identical trajectory, epochs become head-bound (the reference
+        # recomputes the frozen forward every step for 100 epochs,
+        # dinov2salad_finetuning.py:35-36)
+        cached = self._maybe_cache_frozen_features(train_source, val_source)
+        if cached is not None:
+            train_source, val_source, train_step, cached_eval = cached
+        else:
+            train_step, cached_eval = self._train_step, None
+
         best = float("inf")
         best_epoch = -1
         bad_epochs = 0
@@ -205,7 +216,7 @@ class Trainer:
                     jax.profiler.start_trace(
                         os.path.join(self.run_dir, "profile"))
                     profiling = True
-                self.state, m = self._train_step(self.state, batch)
+                self.state, m = train_step(self.state, batch)
                 train_metrics.append(m)
                 step_in_epoch += 1
                 if profiling and step_in_epoch >= 1 + cfg.profile_steps:
@@ -230,7 +241,7 @@ class Trainer:
                       "seconds": round(time.time() - t0, 2)}
 
             if val_source is not None:
-                val = self.evaluate(val_source)
+                val = self.evaluate(val_source, _step=cached_eval)
                 record.update({f"val_{k}": v for k, v in val.items()})
                 monitored = val[self.objective.monitor]
 
@@ -285,6 +296,66 @@ class Trainer:
         self.history_summary = {"best": best, "best_epoch": best_epoch}
         return self.history
 
+    def _maybe_cache_frozen_features(self, train_source, val_source):
+        """Frozen-feature cache eligibility + extraction.
+
+        Returns (train_source, val_source, train_step, eval_step) over
+        cached pooled features, or None when ineligible. Eligible iff the
+        model's backbone is FULLY frozen (ModelConfig.freeze_backbone — the
+        optimizer also set_to_zeros its updates), there is no augmentation
+        (features must be identical every epoch), and the model has no
+        batch stats (frozen BN would still see per-batch data). The cached
+        features are bit-identical to what the full forward would feed the
+        head (same normalize, same deterministic backbone — DropPath is
+        inert on these configs), so the training trajectory is unchanged
+        (tests/test_train.py TestFrozenFeatureCache)."""
+        model_cfg = getattr(self.model, "config", None)
+        if not (self.train_cfg.cache_frozen_features
+                and model_cfg is not None
+                and getattr(model_cfg, "freeze_backbone", False)
+                and self.data_cfg.augment == "none"
+                and not self.has_batch_stats):
+            return None
+
+        import functools
+
+        from geovpr.data.pipeline import ArraySource
+
+        extract = jax.jit(lambda params, images: self.model.apply(
+            {"params": params}, self._normalize(images),
+            method="pooled_features"))
+
+        def cache(source):
+            n = len(source)
+            feats = targets = None
+            for batch in prefetch_to_device(
+                    iterate_batches(source, self.data_cfg.batch_size),
+                    self.mesh, self.data_cfg.prefetch_depth):
+                idx = batch.pop("_indices")
+                f = np.asarray(extract(self.state.params, batch["image"]),
+                               np.float32)
+                t = np.asarray(batch["target"], np.float32)
+                if feats is None:
+                    feats = np.zeros((n, f.shape[-1]), np.float32)
+                    targets = np.zeros((n,) + t.shape[1:], np.float32)
+                feats[idx] = f[:len(idx)]
+                targets[idx] = t[:len(idx)]
+            return ArraySource(images=feats, targets=targets)
+
+        head_apply = functools.partial(self.model.apply, method="head_only")
+        train_step = jax.jit(
+            make_train_step(self.objective, normalize_fn=None,
+                            augment_fn=None,
+                            skip_nonfinite=self.train_cfg.skip_nonfinite_updates,
+                            has_batch_stats=False, apply_fn=head_apply),
+            donate_argnums=(0,) if self.train_cfg.donate_state else ())
+        eval_step = jax.jit(
+            make_eval_step(self.objective, normalize_fn=None,
+                           has_batch_stats=False, apply_fn=head_apply))
+        return (cache(train_source),
+                cache(val_source) if val_source is not None else None,
+                train_step, eval_step)
+
     def _prune_checkpoints(self):
         keep = self.train_cfg.keep_checkpoints
         if not keep:
@@ -322,17 +393,22 @@ class Trainer:
                            has_batch_stats=self.has_batch_stats,
                            apply_fn=int8_model.apply))
 
-    def evaluate(self, source) -> dict:
+    def evaluate(self, source, _step=None) -> dict:
+        """`_step` overrides the compiled eval step (the frozen-feature
+        cache evaluates the head on cached features); extra eval vars (int8
+        quant collection) only apply to the default step."""
         if len(source) == 0:
             raise ValueError("evaluate() on an empty source — check the val "
                              "CSV / --image-root (missing-file screening "
                              "may have dropped every row)")
+        step = _step or self._eval_step
+        extra = None if _step is not None else self._extra_eval_vars
         sums = None
         for batch in prefetch_to_device(
                 iterate_batches(source, self.data_cfg.batch_size),
                 self.mesh, self.data_cfg.prefetch_depth):
             batch.pop("_indices", None)
-            s, _ = self._eval_step(self.state, batch, self._extra_eval_vars)
+            s, _ = step(self.state, batch, extra)
             # accumulate ON DEVICE; a float() here would force a host sync
             # per batch and serialize eval dispatch
             sums = s if sums is None else jax.tree_util.tree_map(

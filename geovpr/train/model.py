@@ -88,3 +88,17 @@ class RegressionModel(nn.Module):
     def features(self, images: jax.Array) -> jax.Array:
         """Descriptor/feature extraction path (eval only)."""
         return self.backbone(images, train=False, deterministic=True).pooled
+
+    def pooled_features(self, images: jax.Array) -> jax.Array:
+        """Exactly the features the head consumes (backbone + configured
+        pooling) — the frozen-feature cache extracts these once per run
+        (Trainer._maybe_cache_frozen_features)."""
+        return self._pool(
+            self.backbone(images, train=False, deterministic=True))
+
+    def head_only(self, feats: jax.Array, train: bool = False,
+                  deterministic: bool = True) -> jax.Array:
+        """Head forward on precomputed `pooled_features` — the train/eval
+        step body when the frozen-feature cache is active."""
+        del train
+        return self.head(feats, deterministic=deterministic)

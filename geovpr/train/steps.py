@@ -27,7 +27,8 @@ from geovpr.train.state import TrainState
 
 def make_train_step(objective, normalize_fn=None, augment_fn=None,
                     skip_nonfinite: bool = True,
-                    has_batch_stats: bool = False) -> Callable:
+                    has_batch_stats: bool = False,
+                    apply_fn=None) -> Callable:
     """Returns train_step(state, batch) -> (state, metrics).
 
     batch: {"image": (B,H,W,3) uint8 or float,
@@ -38,6 +39,9 @@ def make_train_step(objective, normalize_fn=None, augment_fn=None,
                 flow through objective.remap_flip so image and label always
                 agree (fixes the reference's re-sampled-flip approximation,
                 swin_angle_finetuning_gemini.py:59-76)
+    apply_fn: overrides state.apply_fn (the frozen-feature cache trains the
+              head alone on precomputed features via
+              RegressionModel.head_only)
     """
 
     def train_step(state: TrainState, batch):
@@ -61,16 +65,18 @@ def make_train_step(objective, normalize_fn=None, augment_fn=None,
         enc_targets = objective.encode_targets(batch["target"], state.scaler)
         mask = batch.get("mask")
 
+        fwd = apply_fn or state.apply_fn
+
         def loss_fn(params):
             variables = {"params": params}
             if has_batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                preds, mutated = state.apply_fn(
+                preds, mutated = fwd(
                     variables, batch["image"], train=True, deterministic=False,
                     mutable=["batch_stats"], rngs={"dropout": rng})
                 new_stats = mutated["batch_stats"]
             else:
-                preds = state.apply_fn(
+                preds = fwd(
                     variables, batch["image"], train=True, deterministic=False,
                     rngs={"dropout": rng})
                 new_stats = state.batch_stats

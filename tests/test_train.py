@@ -517,6 +517,67 @@ class TestFrozenSaladRecipe:
                                 jax.device_get(tr.state.params["head"]))))
 
 
+class TestFrozenFeatureCache:
+    """Frozen-feature cache (TrainConfig.cache_frozen_features): with a
+    fully-frozen backbone and no augmentation, features are extracted once
+    and the head trains on them — the trajectory must equal the uncached
+    run's exactly (the reference recomputes the frozen forward every step,
+    dinov2salad_finetuning.py:35-36; this makes epochs head-bound)."""
+
+    def _trainer(self, tmp_path, cache: bool, augment: str = "none"):
+        import dataclasses as dc
+        from geovpr.cli.presets import build_preset, objective_for
+
+        cfg = build_preset("dinov2salad_frozen_mlp")
+        mcfg = dc.replace(cfg.model, variant="small-14", image_size=28)
+        src = synthetic_geo_source(n=16, size=28)
+        scaler = fit_scaler(jnp.array(src.targets))
+        tr = Trainer(
+            model=RegressionModel(config=mcfg, dtype=jnp.float32),
+            objective=objective_for(cfg),
+            optim_cfg=cfg.optim,
+            train_cfg=dc.replace(cfg.train, epochs=2, seed=7,
+                                 save_dir=str(tmp_path), checkpoint_every=0,
+                                 cache_frozen_features=cache),
+            data_cfg=DataConfig(image_size=28, batch_size=8,
+                                augment=augment),
+            mesh=create_mesh(), scaler=scaler)
+        return tr, src
+
+    def test_cached_trajectory_equals_uncached(self, tmp_path):
+        tr_c, src = self._trainer(tmp_path / "c", cache=True)
+        hist_c = tr_c.fit(src, val_source=src, epochs=2)
+        tr_u, src_u = self._trainer(tmp_path / "u", cache=False)
+        hist_u = tr_u.fit(src_u, val_source=src_u, epochs=2)
+        for rc, ru in zip(hist_c, hist_u):
+            np.testing.assert_allclose(rc["train_loss"], ru["train_loss"],
+                                       rtol=1e-5)
+            np.testing.assert_allclose(rc["val_mse"], ru["val_mse"],
+                                       rtol=1e-5)
+        # the cached trainer's head params end up identical too
+        for a, b in zip(
+                jax.tree_util.tree_leaves(
+                    jax.device_get(tr_c.state.params["head"])),
+                jax.tree_util.tree_leaves(
+                    jax.device_get(tr_u.state.params["head"]))):
+            np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-6)
+
+    def test_cache_engages_and_respects_eligibility(self, tmp_path):
+        tr, src = self._trainer(tmp_path, cache=True)
+        tr.init_state((28, 28, 3))
+        assert tr._maybe_cache_frozen_features(src, None) is not None
+        # augmentation changes the images every epoch -> ineligible
+        tr_aug, src2 = self._trainer(tmp_path / "aug", cache=True,
+                                     augment="geo_light")
+        tr_aug.init_state((28, 28, 3))
+        assert tr_aug._maybe_cache_frozen_features(src2, None) is None
+        # models without a ModelConfig (no frozen-backbone contract) never
+        # take the cached path
+        tiny = make_trainer(GeoposeObjective(), 2, save_dir=str(tmp_path))
+        tiny.init_state((32, 32, 3))
+        assert tiny._maybe_cache_frozen_features(src, None) is None
+
+
 class TestDropRemainderParity:
     """drop_remainder_train now defaults False (reference DataLoader
     drop_last=False): the ragged final batch is padded to static shape and
