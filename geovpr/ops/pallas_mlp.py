@@ -109,3 +109,4 @@ def fused_mlp_block_int8(x: jax.Array, ln_scale_q: jax.Array,
     )(jnp.reshape(inv_a_mid.astype(jnp.float32), (1,)), xf, ln_scale_q,
       ln_bias_q, w1q, s1_eff, b1, w2q, s2_eff, b2, gamma)
     return jax.lax.stop_gradient(out.reshape(*lead, d))
+

@@ -334,6 +334,205 @@ def _train_bwd_kernel(qkv_ref, p_ref, da_ref, dqkv_ref, dbias_ref,
                     dv.astype(dqkv_ref.dtype))
 
 
+def _bwd_fused_ok(n: int, c: int, bw: int, num_heads: int) -> bool:
+    """Eligibility for the ALL-IN-ONE backward kernel (everything the
+    custom VJP needs in one pass — see `_train_bwd_all_kernel`). The
+    weight-gradient accumulators (dwqkv (C,3C) + dwo (C,C), f32, resident
+    across the whole sequential grid) gate it to C <= 512 — Swin-B's
+    stages 0-2, 22 of its 24 blocks; stage 3 (C=1024, ~16 MB of
+    accumulators on top of the probability planes) falls back to the
+    split XLA composition, which is near its matmul roofline there."""
+    return (c <= 512 and n % 16 == 0 and c % 128 == 0
+            and pick_windows_per_program(bw, n, num_heads) > 0)
+
+
+def _train_bwd_all_kernel(xw_ref, qkv_ref, p_ref, ctx_ref, g_ref,
+                          wqkv_ref, wo_ref, ln_scale_ref, ln_bias_ref,
+                          dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                          dbias_ref, dls_ref, dlb_ref, dqkv_ref,
+                          *, num_heads: int, n: int, wb: int, scale: float,
+                          ln_eps: float):
+    """The ENTIRE attention-half backward in one kernel.
+
+    Motivation (docs/DESIGN.md, round-2 Swin training profile): the
+    Pallas attention-core backward was cheap (1.8 ms at stage-0 shapes)
+    but the XLA composition around it — da = g@Wo^T, the LN recompute,
+    dwqkv = h^T@dqkv, dbqkv/dbo column sums, dh = dqkv@Wqkv^T, and the
+    LN VJP — re-read the full token stream and the (M, 3C) dqkv several
+    times each, making the XLA side the dominant cost of every train
+    block. This kernel reads xw/qkv/p/ctx/g ONCE per row block and writes
+    ONLY dx; every weight gradient (dwqkv, dbqkv, dwo, dbo, dbias,
+    d ln_scale, d ln_bias) accumulates in VMEM f32 across the sequential
+    grid (constant index maps + "arbitrary" dimension semantics, the
+    dbias pattern). dqkv lives in a VMEM scratch and never reaches HBM.
+
+    Numerics match the split path: LN recompute in f32, dqkv rounded to
+    the stream dtype before the weight-grad matmuls, dh rounded to the
+    stream dtype before the LN VJP — bit-compatible with what the XLA
+    composition feeds its corresponding ops."""
+    m, d3 = qkv_ref.shape
+    d = d3 // 3
+    dh_ = d // num_heads
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+        dlb_ref[:] = jnp.zeros_like(dlb_ref)
+
+    g = g_ref[:]
+    gf = g.astype(jnp.float32)
+    # out-proj grads: y = ctx @ Wo + bo
+    da = jnp.dot(g, wo_ref[:].T,
+                 preferred_element_type=jnp.float32).astype(g.dtype)
+    dwo_ref[:] += jax.lax.dot_general(
+        ctx_ref[:], g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbo_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
+
+    # attention core: dqkv into the VMEM scratch (the stage-split
+    # head-chunk loop of `_train_bwd_kernel`, da sliced from the local
+    # matmul above instead of an HBM input)
+    qkv = qkv_ref[:]
+    ch = _bwd_head_chunk(n, num_heads)
+    for w in range(wb):
+        rows = slice(w * n, (w + 1) * n)
+        for h0 in range(0, num_heads, ch):
+            heads = range(h0, h0 + ch)
+            pss = [p_ref[rows, h * n:(h + 1) * n] for h in heads]
+            dps = []
+            for i, h in enumerate(heads):   # stage 1: dP matmuls
+                v = qkv[rows, 2 * d + h * dh_:2 * d + (h + 1) * dh_]
+                da_h = da[rows, h * dh_:(h + 1) * dh_]
+                dps.append(jax.lax.dot_general(
+                    da_h, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            dss = []
+            for i, h in enumerate(heads):   # stage 2: softmax bwd (VPU)
+                p = pss[i].astype(jnp.float32)
+                ds = p * (dps[i] - jnp.sum(dps[i] * p, axis=-1,
+                                           keepdims=True))
+                dbias_ref[h * n:(h + 1) * n, :] += ds
+                dss.append((ds * scale).astype(qkv.dtype))
+            for i, h in enumerate(heads):   # stage 3: gradient matmuls
+                q = qkv[rows, h * dh_:(h + 1) * dh_]
+                k = qkv[rows, d + h * dh_:d + (h + 1) * dh_]
+                da_h = da[rows, h * dh_:(h + 1) * dh_]
+                dv = jax.lax.dot_general(
+                    pss[i], da_h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dq = jnp.dot(dss[i], k, preferred_element_type=jnp.float32)
+                dk = jax.lax.dot_general(
+                    dss[i], q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dqkv_ref[rows, h * dh_:(h + 1) * dh_] = (
+                    dq.astype(dqkv_ref.dtype))
+                dqkv_ref[rows, d + h * dh_:d + (h + 1) * dh_] = (
+                    dk.astype(dqkv_ref.dtype))
+                dqkv_ref[rows, 2 * d + h * dh_:2 * d + (h + 1) * dh_] = (
+                    dv.astype(dqkv_ref.dtype))
+
+    # LN recompute (f32) + qkv-projection weight grads + LN VJP -> dx
+    x_raw = xw_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = (xf - mu) * rstd
+    ls = ln_scale_ref[:].astype(jnp.float32)
+    h_ln = (xhat * ls + ln_bias_ref[:].astype(jnp.float32)
+            ).astype(x_raw.dtype)
+
+    dqkv = dqkv_ref[:]
+    dwqkv_ref[:] += jax.lax.dot_general(
+        h_ln, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                            keepdims=True)
+    dhf = jnp.dot(dqkv, wqkv_ref[:].T,
+                  preferred_element_type=jnp.float32).astype(x_raw.dtype
+                                                             ).astype(
+                                                                 jnp.float32)
+    dls_ref[:] += jnp.sum(dhf * xhat, axis=0, keepdims=True)
+    dlb_ref[:] += jnp.sum(dhf, axis=0, keepdims=True)
+    dxhat = dhf * ls
+    dx = rstd * (dxhat
+                 - jnp.mean(dxhat, axis=-1, keepdims=True)
+                 - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _swin_attn_bwd_all_pallas(xw, qkv, p, ctx, g, wqkv, wo, ln_scale,
+                              ln_bias, num_heads: int, n: int,
+                              ln_eps: float):
+    """Dispatch the all-in-one backward. Returns (dx flat, dwqkv, dbqkv,
+    dwo, dbo, dbias (H,N,N), dls, dlb)."""
+    m, c3 = qkv.shape
+    c = c3 // 3
+    dh_ = c // num_heads
+    scale = dh_ ** -0.5
+    bw = m // n
+    wb = pick_windows_per_program(bw, n, num_heads)
+    assert wb > 0, "all-in-one bwd dispatched for ineligible shapes"
+
+    kernel = functools.partial(_train_bwd_all_kernel, num_heads=num_heads,
+                               n=n, wb=wb, scale=scale, ln_eps=ln_eps)
+    whole = lambda i: (0, 0)
+    vec = lambda i: (0,)
+    row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM)
+    acc_spec = lambda r, cc: pl.BlockSpec((r, cc), whole,
+                                          memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, c), qkv.dtype),            # dx
+            jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),      # dwqkv
+            jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),      # dbqkv
+            jax.ShapeDtypeStruct((c, c), jnp.float32),          # dwo
+            jax.ShapeDtypeStruct((1, c), jnp.float32),          # dbo
+            jax.ShapeDtypeStruct((num_heads * n, n), jnp.float32),  # dbias
+            jax.ShapeDtypeStruct((1, c), jnp.float32),          # dls
+            jax.ShapeDtypeStruct((1, c), jnp.float32),          # dlb
+        ),
+        grid=(bw // wb,),
+        in_specs=[
+            row_spec(c),            # xw
+            row_spec(3 * c),        # qkv
+            row_spec(num_heads * n),  # p
+            row_spec(c),            # ctx
+            row_spec(c),            # g
+            acc_spec(c, 3 * c),     # wqkv
+            acc_spec(c, c),         # wo
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(row_spec(c), acc_spec(c, 3 * c), acc_spec(1, 3 * c),
+                   acc_spec(c, c), acc_spec(1, c),
+                   acc_spec(num_heads * n, n), acc_spec(1, c),
+                   acc_spec(1, c)),
+        scratch_shapes=[pltpu.VMEM((wb * n, 3 * c), qkv.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=28 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(6 * bw * num_heads * n * n * dh_
+                   + 16 * bw * n * c * c),
+            bytes_accessed=(7 * m * c + m * num_heads * n)
+                           * qkv.dtype.itemsize,
+            transcendentals=0),
+    )(xw.reshape(m, c), qkv, p, ctx, g, wqkv, wo, ln_scale, ln_bias)
+    dx, dwqkv, dbqkv, dwo, dbo, dbias, dls, dlb = outs
+    return (dx, dwqkv, dbqkv.reshape(3 * c), dwo, dbo.reshape(c),
+            dbias.reshape(num_heads, n, n), dls.reshape(c),
+            dlb.reshape(c))
+
+
 def _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                          bias, mask, num_heads: int, ln_eps: float,
                          residual: bool = True):
@@ -678,6 +877,19 @@ def _train_fwd(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
 def _train_bwd(num_heads, ln_eps, res, g):
     xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, qkv, ctx, p = res
     bw, n, c = xw.shape
+
+    if _bwd_fused_ok(n, c, bw, num_heads):
+        # all-in-one backward kernel: one pass over the residual streams,
+        # every weight grad accumulated in VMEM (see _train_bwd_all_kernel)
+        (dx, dwqkv, dbqkv, dwo, dbo, dbias, dls, dlb
+         ) = _swin_attn_bwd_all_pallas(
+            xw, qkv, p, ctx, g.reshape(bw * n, c).astype(xw.dtype),
+            wqkv, wo, ln_scale, ln_bias, num_heads, n, ln_eps)
+        dmask = None if mask is None else jnp.zeros_like(mask)
+        return (dx.reshape(bw, n, c), dls.astype(ln_scale.dtype),
+                dlb.astype(ln_bias.dtype), dwqkv.astype(wqkv.dtype),
+                dbqkv.astype(bqkv.dtype), dwo.astype(wo.dtype),
+                dbo.astype(bo.dtype), dbias.astype(bias.dtype), dmask)
 
     gf = g.reshape(bw * n, c).astype(jnp.float32)
     gb = gf.astype(xw.dtype)
