@@ -43,6 +43,12 @@ _VMEM_LIMIT_MB = int(os.environ.get("GEOVPR_MHSA_VMEM_MB", "28"))
 # `skip_max`) — overflow-safe via clamp, measured faster; env opt-out for
 # A/B remeasurement
 _SKIP_MAX = os.environ.get("GEOVPR_MHSA_SKIP_MAX", "1") == "1"
+# all-in-one training backward (see _mhsa_bwd_all_kernel) — env opt-out
+# for A/B remeasurement against the split composition
+_BWD_ALL = os.environ.get("GEOVPR_MHSA_BWD_ALL", "1") == "1"
+# its own schedule knobs (swept independently of the forward kernels)
+_BWD_ALL_VMEM_MB = int(os.environ.get("GEOVPR_MHSA_BWDALL_VMEM_MB", "28"))
+_BWD_ALL_PLANES_MB = int(os.environ.get("GEOVPR_MHSA_BWDALL_PLANES_MB", "6"))
 
 
 def _v3_fast_path(n: int, np_: int, num_heads: int, bb: int, width: int,
@@ -672,6 +678,28 @@ def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         b, n, d = x.shape
         np_ = -(-n // 16) * 16
 
+        if _BWD_ALL and _bwd_all_ok(np_, d, num_heads, x.dtype):
+            # all-in-one backward kernel: one pass over the residual
+            # streams, every weight grad accumulated in VMEM (see
+            # _mhsa_bwd_all_kernel)
+            gp = g if np_ == n else jnp.pad(g, [(0, 0), (0, np_ - n),
+                                                (0, 0)])
+            xp = x if np_ == n else jnp.pad(x, [(0, 0), (0, np_ - n),
+                                                (0, 0)])
+            (dx, dwqkv, dbqkv, dwo, dbo, dgamma, dls, dlb
+             ) = _mhsa_bwd_all_pallas(
+                xp.reshape(b * np_, d), qkv, ctx,
+                gp.reshape(b * np_, d).astype(x.dtype),
+                wqkv, wo, bo, gamma, ln_scale, ln_bias,
+                num_heads, n, np_, ln_eps)
+            dx = dx.reshape(b, np_, d)[:, :n, :]
+            return (dx.astype(x.dtype), dls.reshape(d).astype(ln_scale.dtype),
+                    dlb.reshape(d).astype(ln_bias.dtype),
+                    dwqkv.astype(wqkv.dtype),
+                    dbqkv.reshape(3 * d).astype(bqkv.dtype),
+                    dwo.astype(wo.dtype), dbo.reshape(d).astype(bo.dtype),
+                    dgamma.reshape(d).astype(gamma.dtype))
+
         gf = g.astype(jnp.float32)
         if np_ != n:
             gf = jnp.pad(gf, [(0, 0), (0, np_ - n), (0, 0)])
@@ -896,3 +924,232 @@ def _attn_bwd_pallas(qkv: jax.Array, da: jax.Array, num_heads: int,
             transcendentals=(m // np_) * num_heads * np_ * np_),
     )(qkv, da)
     return out
+
+
+# ------------------------------------------- all-in-one training backward
+def _bwd_all_head_chunk(np_: int, num_heads: int) -> int:
+    """Heads per recompute chunk in the all-in-one backward: each chunk
+    holds ~4 live f32 (NP, NP) planes per head (scores, probabilities, dP,
+    dS); the budget keeps them clear of the resident f32 weight-gradient
+    accumulators (~9.4 MB at D=768)."""
+    budget = _BWD_ALL_PLANES_MB * 1024 * 1024
+    for ch in (num_heads, 8, 6, 4, 3, 2, 1):
+        if num_heads % ch == 0 and 4 * ch * np_ * np_ * 4 <= budget:
+            return ch
+    return 1
+
+
+def _bwd_all_ok(np_: int, d: int, num_heads: int, dtype) -> bool:
+    """Eligibility for the all-in-one backward: the f32 dwqkv (D, 3D) +
+    dwo (D, D) accumulators stay VMEM-resident across the whole sequential
+    grid — that gates it to D <= ~800 (ViT-B D=768 qualifies; large-14
+    D=1024 would need ~17 MB of accumulators and falls back to the split
+    composition). f32 activations at production scale are rejected for the
+    same VMEM-doubling reason as `_v3_fast_path`; tiny test shapes pass."""
+    if (d * 3 * d + d * d + 6 * d) * 4 > 11 * 1024 * 1024:
+        return False
+    if dtype != jnp.bfloat16 and np_ * d * 4 > 512 * 1024:
+        return False
+    return True
+
+
+def _mhsa_bwd_all_kernel(x_ref, qkv_ref, ctx_ref, g_ref, wqkv_ref, wo_ref,
+                         bo_ref, gamma_ref, ln_scale_ref, ln_bias_ref,
+                         dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                         dgamma_ref, dls_ref, dlb_ref, dqkv_scr,
+                         *, num_heads: int, scale: float, n_valid: int,
+                         ln_eps: float):
+    """The ENTIRE fused-MHSA-block backward in one kernel (the ViT port of
+    pallas_swin_block._train_bwd_all_kernel, which measured -7% on the full
+    Swin train step). The split path's XLA composition — dy = g*gamma,
+    da = dy@Wo^T, y-recompute for dgamma, dwo = ctx^T@dy, the LN recompute,
+    dwqkv = h^T@dqkv, the bias column sums, dh = dqkv@Wqkv^T, and the LN
+    VJP — re-reads the token stream and the (M, 3D) dqkv from HBM several
+    times each. Here every stream is read ONCE per row block, dqkv lives in
+    a VMEM scratch and never reaches HBM, and every weight gradient
+    (dwqkv, dbqkv, dwo, dbo, dgamma, dLN-scale, dLN-bias) accumulates in
+    VMEM f32 across the sequential grid; dx is the only stream written.
+
+    The attention-core backward recomputes probabilities per head chunk in
+    VMEM, masked/(NP, NP)-shaped exactly like `_attn_bwd_kernel_v3` (the
+    recompute matches the forward to bf16 noise — same contract as the
+    split path). Numerics elsewhere follow the split path's rounding: da
+    and dh round to the stream dtype before their consumers."""
+    m, d3 = qkv_ref.shape
+    d = d3 // 3
+    dh_ = d // num_heads
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+        dgamma_ref[:] = jnp.zeros_like(dgamma_ref)
+        dls_ref[:] = jnp.zeros_like(dls_ref)
+        dlb_ref[:] = jnp.zeros_like(dlb_ref)
+
+    g_raw = g_ref[:]
+    gf = g_raw.astype(jnp.float32)
+    gamma_f = gamma_ref[:].astype(jnp.float32)
+    dy = gf * gamma_f
+    dyb = dy.astype(g_raw.dtype)
+
+    # out = x + gamma * (ctx @ Wo + bo): out-proj grads + dgamma (needs the
+    # y recompute — one extra matmul, same as the split path pays in XLA)
+    ctx = ctx_ref[:]
+    y = (jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+         + bo_ref[:].astype(jnp.float32))
+    dgamma_ref[:] += jnp.sum(gf * y, axis=0, keepdims=True)
+    dwo_ref[:] += jax.lax.dot_general(
+        ctx, dyb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbo_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    da = jax.lax.dot_general(
+        dyb, wo_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(g_raw.dtype)
+
+    # attention core: recompute p per head chunk, dqkv into the VMEM
+    # scratch (stage-split within each chunk, as _attn_bwd_kernel_v3)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    key_mask = col < n_valid
+    qkv = qkv_ref[:]
+    ch = _bwd_all_head_chunk(m, num_heads)
+    for h0 in range(0, num_heads, ch):
+        heads = range(h0, h0 + ch)
+        ss = []
+        for h in heads:                     # stage 1: recompute scores
+            q = qkv[:, h * dh_:(h + 1) * dh_]
+            k = qkv[:, d + h * dh_:d + (h + 1) * dh_]
+            ss.append(jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        pss = []
+        for i, h in enumerate(heads):       # stage 2: softmax recompute
+            s = jnp.where(key_mask, ss[i] * scale, -1e30)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            pss.append(p / jnp.sum(p, axis=-1, keepdims=True))
+        dps = []
+        for i, h in enumerate(heads):       # stage 3: dP matmuls
+            v = qkv[:, 2 * d + h * dh_:2 * d + (h + 1) * dh_]
+            da_h = da[:, h * dh_:(h + 1) * dh_]
+            dps.append(jax.lax.dot_general(
+                da_h, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dss = []
+        for i, h in enumerate(heads):       # stage 4: softmax backward VPU
+            p = pss[i]
+            ds = p * (dps[i] - jnp.sum(dps[i] * p, axis=-1, keepdims=True))
+            dss.append((ds * scale).astype(qkv.dtype))
+        for i, h in enumerate(heads):       # stage 5: gradient matmuls
+            q = qkv[:, h * dh_:(h + 1) * dh_]
+            k = qkv[:, d + h * dh_:d + (h + 1) * dh_]
+            da_h = da[:, h * dh_:(h + 1) * dh_]
+            pb = pss[i].astype(qkv.dtype)
+            dv = jax.lax.dot_general(
+                pb, da_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq = jnp.dot(dss[i], k, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                dss[i], q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqkv_scr[:, h * dh_:(h + 1) * dh_] = dq.astype(dqkv_scr.dtype)
+            dqkv_scr[:, d + h * dh_:d + (h + 1) * dh_] = (
+                dk.astype(dqkv_scr.dtype))
+            dqkv_scr[:, 2 * d + h * dh_:2 * d + (h + 1) * dh_] = (
+                dv.astype(dqkv_scr.dtype))
+
+    # LN recompute (f32) + qkv-projection weight grads + LN VJP -> dx
+    x_raw = x_ref[:]
+    xf = x_raw.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + ln_eps)
+    xhat = (xf - mu) * rstd
+    ls = ln_scale_ref[:].astype(jnp.float32)
+    h_ln = (xhat * ls + ln_bias_ref[:].astype(jnp.float32)
+            ).astype(x_raw.dtype)
+
+    dqkv = dqkv_scr[:]
+    dwqkv_ref[:] += jax.lax.dot_general(
+        h_ln, dqkv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbqkv_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+    dhf = jax.lax.dot_general(
+        dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x_raw.dtype
+                                                   ).astype(jnp.float32)
+    dls_ref[:] += jnp.sum(dhf * xhat, axis=0, keepdims=True)
+    dlb_ref[:] += jnp.sum(dhf, axis=0, keepdims=True)
+    dxhat = dhf * ls
+    dx = rstd * (dxhat
+                 - jnp.mean(dxhat, axis=-1, keepdims=True)
+                 - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True))
+    dx_ref[:] = (dx + gf).astype(dx_ref.dtype)
+
+
+def _mhsa_bwd_all_pallas(x, qkv, ctx, g, wqkv, wo, bo, gamma, ln_scale,
+                         ln_bias, num_heads: int, n_valid: int, np_: int,
+                         ln_eps: float):
+    """Dispatch the all-in-one backward. All row streams (x, qkv, ctx, g)
+    arrive flat+padded (B*NP, ·) with g zero-padded beyond n_valid (padded
+    rows then contribute exactly zero to every gradient — same argument as
+    the split path). Returns (dx flat (B*NP, D) incl. the +g residual term,
+    dwqkv, dbqkv, dwo, dbo, dgamma, dls, dlb) with weight grads in f32."""
+    m, d3 = qkv.shape
+    d = d3 // 3
+    dh_ = d // num_heads
+    scale = dh_ ** -0.5
+    b = m // np_
+
+    kernel = functools.partial(_mhsa_bwd_all_kernel, num_heads=num_heads,
+                               scale=scale, n_valid=n_valid, ln_eps=ln_eps)
+    whole = lambda i: (0, 0)
+    vec = lambda i: (0,)
+    row_spec = lambda width: pl.BlockSpec((np_, width), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM)
+    acc_spec = lambda r, cc: pl.BlockSpec((r, cc), whole,
+                                          memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, d), x.dtype),              # dx
+            jax.ShapeDtypeStruct((d, 3 * d), jnp.float32),      # dwqkv
+            jax.ShapeDtypeStruct((1, 3 * d), jnp.float32),      # dbqkv
+            jax.ShapeDtypeStruct((d, d), jnp.float32),          # dwo
+            jax.ShapeDtypeStruct((1, d), jnp.float32),          # dbo
+            jax.ShapeDtypeStruct((1, d), jnp.float32),          # dgamma
+            jax.ShapeDtypeStruct((1, d), jnp.float32),          # dls
+            jax.ShapeDtypeStruct((1, d), jnp.float32),          # dlb
+        ),
+        grid=(b,),
+        in_specs=[
+            row_spec(d),            # x
+            row_spec(3 * d),        # qkv
+            row_spec(d),            # ctx
+            row_spec(d),            # g
+            acc_spec(d, 3 * d),     # wqkv
+            acc_spec(d, d),         # wo
+            vec_spec,               # bo
+            vec_spec,               # gamma
+            vec_spec,               # ln_scale
+            vec_spec,               # ln_bias
+        ],
+        out_specs=(row_spec(d), acc_spec(d, 3 * d), acc_spec(1, 3 * d),
+                   acc_spec(d, d), acc_spec(1, d), acc_spec(1, d),
+                   acc_spec(1, d), acc_spec(1, d)),
+        scratch_shapes=[pltpu.VMEM((np_, 3 * d), qkv.dtype)],
+        # weight-grad accumulation across the grid -> sequential semantics
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_BWD_ALL_VMEM_MB * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(12 * b * num_heads * np_ * np_ * dh_
+                   + 22 * b * np_ * d * d),
+            bytes_accessed=(7 * m * d) * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * np_ * np_),
+    )(x, qkv, ctx, g, wqkv, wo, bo, gamma, ln_scale, ln_bias)
+    return outs

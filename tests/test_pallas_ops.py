@@ -263,6 +263,51 @@ class TestFusedMhsaGrads:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("case", [(2, 9, 16, 2), (2, 129, 32, 4),
+                                      (1, 17, 48, 3)])
+    def test_all_in_one_backward_matches_split(self, monkeypatch, case):
+        """The all-in-one backward kernel (_mhsa_bwd_all_kernel: out-proj
+        grads + attention-core recompute + LN VJP + every weight grad as a
+        VMEM accumulator, dx the only stream written) must agree with the
+        split composition it replaces to f32 associativity noise — BOTH
+        run off the same forward residuals, so this isolates the kernel
+        itself from forward-flavor differences."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = case
+        rng = np.random.default_rng(11)
+        x = jnp.array(rng.normal(size=(B, N, D)), jnp.float32)
+        args = tuple(jnp.array(rng.normal(size=s) * 0.2, jnp.float32)
+                     for s in [(D,), (D,), (D, 3 * D), (3 * D,), (D, D),
+                               (D,), (D,)])
+        assert m._bwd_all_ok(-(-N // 16) * 16, D, H, x.dtype)
+
+        def loss(x, *a):
+            return jnp.sum(m.fused_mhsa_block(x, *a, num_heads=H) ** 2)
+
+        monkeypatch.setattr(m, "_BWD_ALL", True)
+        g_all = jax.grad(loss, argnums=tuple(range(8)))(x, *args)
+        monkeypatch.setattr(m, "_BWD_ALL", False)
+        g_split = jax.grad(loss, argnums=tuple(range(8)))(x, *args)
+        for a, b in zip(g_all, g_split):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=1e-6)
+
+    def test_all_in_one_gate_rejects_large_dim(self):
+        """D=1024 (ViT-L) needs ~17 MB of f32 weight-grad accumulators —
+        must fall back to the split composition."""
+        import geovpr.ops.pallas_mhsa as m
+
+        assert not m._bwd_all_ok(272, 1024, 16, jnp.bfloat16)
+        assert m._bwd_all_ok(272, 768, 12, jnp.bfloat16)
+        # production-scale f32 is rejected (VMEM doubling), tiny f32 passes
+        assert not m._bwd_all_ok(272, 768, 12, jnp.float32)
 
 
 class TestFusedMhsaInt8:
