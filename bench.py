@@ -508,5 +508,30 @@ def main():
           f"iters={iters}", file=sys.stderr)
 
 
+def _main_with_retry():
+    """The axon tunnel's remote-compile endpoint occasionally drops a
+    response mid-body (INTERNAL: "response body closed before all bytes
+    were read") — a transient transport flake, not a program error. The
+    driver runs this script unattended, so retry the whole bench once in a
+    fresh interpreter state before reporting failure."""
+    import os
+    import subprocess
+
+    try:
+        main()
+        return
+    except Exception as e:  # noqa: BLE001 — classify, then re-raise
+        msg = f"{type(e).__name__}: {e}"
+        transient = ("remote_compile" in msg or "DEADLINE_EXCEEDED" in msg
+                     or "response body closed" in msg or "UNAVAILABLE" in msg)
+        if not transient or os.environ.get("GEOVPR_BENCH_NO_RETRY"):
+            raise
+        print(f"# transient tunnel error, retrying once: {msg.splitlines()[0]}",
+              file=sys.stderr)
+    env = dict(os.environ, GEOVPR_BENCH_NO_RETRY="1")
+    # fresh process: the poisoned backend state dies with this interpreter
+    raise SystemExit(subprocess.call([sys.executable, *sys.argv], env=env))
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
