@@ -23,6 +23,7 @@ shapes anywhere.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -105,6 +106,47 @@ def window_reverse(x: jax.Array, window: int, h: int, w: int) -> jax.Array:
     return x.reshape(b, h, w, c)
 
 
+@functools.lru_cache(maxsize=None)
+def _repartition_perm(h: int, w: int, window: int,
+                      shift_amt: int) -> np.ndarray:
+    """Static row permutation implementing partition∘roll(-shift)∘reverse
+    directly in window-partitioned coordinates: out_flat[t] =
+    in_flat[perm[t]] per image, where flat rows are (window, token) pairs
+    in partition order. One gather replaces the reverse + roll + partition
+    transpose chain, whose 12-element-granularity copies measured ~1.2 ms
+    per shifted block at Swin-B-384 B=64 (docs/DESIGN.md)."""
+    nw_x = w // window
+    n = window * window
+    t = np.arange(h * w)
+    wprime, nprime = np.divmod(t, n)
+    wy, wx = np.divmod(wprime, nw_x)
+    ry, rx = np.divmod(nprime, window)
+    y = (wy * window + ry + shift_amt) % h
+    x = (wx * window + rx + shift_amt) % w
+    sy, sry = np.divmod(y, window)
+    sx, srx = np.divmod(x, window)
+    return ((sy * nw_x + sx) * n + sry * window + srx).astype(np.int32)
+
+
+def repartition(xw: jax.Array, window: int, h: int, w: int,
+                shift_amt: int) -> jax.Array:
+    """Roll the underlying image by -shift_amt on both spatial axes WITHOUT
+    leaving the (B*nW, N, C) partitioned layout — a single static gather
+    per image (see _repartition_perm). Two dead ends recorded here: a
+    "grouped" gather over contiguous g-row runs as (L/g, g*C) super-rows
+    measured SLOWER e2e (71.3 vs 57.7 ms — the reshape is a physical
+    relayout on TPU tiled memory, not a bitcast), and replacing the
+    stage-boundary partition/reverse transposes with this gather was also
+    slower (58.9 vs 57.7) — the gather only wins where it replaces the
+    3-op reverse+roll+partition chain."""
+    bw, n, c = xw.shape
+    nw = (h // window) * (w // window)
+    b = bw // nw
+    perm = jnp.asarray(_repartition_perm(h, w, window, shift_amt))
+    y = jnp.take(xw.reshape(b, h * w, c), perm, axis=1)
+    return y.reshape(bw, n, c)
+
+
 class SwinAttnParams(nn.Module):
     """Window-attention parameter holder with the same tree paths as the
     former nn.Dense-based WindowAttention module (query/key/value/proj
@@ -168,15 +210,29 @@ class SwinBlock(nn.Module):
     int8_mlp: bool = False
     int8_attn: bool = False
     calibrate: bool = False
+    # resident window-partitioned layout: x arrives and leaves as
+    # (B*nW, N, C) windows instead of (B, L, C) spatial tokens. Measured
+    # motivation (docs/DESIGN.md): at B=64 the per-block partition/reverse
+    # + roll permutation copies around the fused kernels cost 15.9 ms of
+    # the 64.7 ms Swin-B-384 int8 eval step (25%). With the stream kept
+    # partitioned across a stage, unshifted blocks pay ZERO layout copies
+    # (LN/MLP/projections are row-local; the kernel consumes windows
+    # directly) and shifted blocks pay one static row permutation each way
+    # (reverse -> roll -> partition, which XLA fuses into one copy).
+    partitioned_io: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
-        # x: (B, L, C) with L = resolution^2
+        # x: (B, L, C) with L = resolution^2, or (B*nW, N, C) when
+        # partitioned_io (see above)
         b, l, c = x.shape
         h = w = self.resolution
         n = self.window * self.window
         nw = (h // self.window) * (w // self.window)
+        if self.partitioned_io:
+            b = b // nw
+            l = h * w
         shortcut = x
         # Serving kernel on the deterministic (eval) path only: its
         # backward is an XLA recompute — the train path has its own fused
@@ -204,6 +260,30 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
+        def to_windows(t):
+            """Layout in: block input -> (BW, N, C) rolled windows."""
+            if self.partitioned_io:
+                if self.shift == 0:
+                    return t
+                return repartition(t, self.window, h, w, self.shift)
+            ts = t.reshape(b, h, w, c)
+            if self.shift > 0:
+                ts = jnp.roll(ts, shift=(-self.shift, -self.shift),
+                              axis=(1, 2))
+            return window_partition(ts, self.window)
+
+        def from_windows(t):
+            """Layout out: (BW, N, C) rolled windows -> block layout."""
+            if self.partitioned_io:
+                if self.shift == 0:
+                    return t
+                return repartition(t, self.window, h, w, -self.shift)
+            ts = window_reverse(t, self.window, h, w)
+            if self.shift > 0:
+                ts = jnp.roll(ts, shift=(self.shift, self.shift),
+                              axis=(1, 2))
+            return ts.reshape(b, l, c)
+
         if self.int8_attn:
             d = self.dim
             qa = {
@@ -219,7 +299,9 @@ class SwinBlock(nn.Module):
             }
             if not self.is_initializing():
                 attn_args = self._attn_int8_fold(n1_scale, n1_bias, attn, qa)
-                x = self._attention_int8(x, attn_args, bias, mask, h, w)
+                xw = to_windows(x)
+                ow = self._attention_int8(xw, attn_args, bias, mask)
+                x = from_windows(ow)
                 return self._mlp_half(x, deterministic)
 
         from geovpr.ops.pallas_swin_block import (
@@ -243,11 +325,7 @@ class SwinBlock(nn.Module):
             # lives inside the kernel; roll/partition commute with the
             # per-token LN and the residual add, so fusing in rolled
             # window space is exact.
-            xs = x.reshape(b, h, w, c)
-            if self.shift > 0:
-                xs = jnp.roll(xs, shift=(-self.shift, -self.shift),
-                              axis=(1, 2))
-            xw = window_partition(xs, self.window)
+            xw = to_windows(x)
             wqkv = jnp.concatenate(
                 [attn["query"][0], attn["key"][0], attn["value"][0]],
                 axis=1).astype(self.dtype)
@@ -257,17 +335,9 @@ class SwinBlock(nn.Module):
                 xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
                 attn["proj"][0].astype(self.dtype), attn["proj"][1],
                 bias, mask, self.num_heads, LN_EPS)
-            xs = window_reverse(ow, self.window, h, w)
-            if self.shift > 0:
-                xs = jnp.roll(xs, shift=(self.shift, self.shift),
-                              axis=(1, 2))
-            x = xs.reshape(b, l, c)
+            x = from_windows(ow)
         elif train_kernel_ok and kernel_shapes_ok:
-            xs = x.reshape(b, h, w, c)
-            if self.shift > 0:
-                xs = jnp.roll(xs, shift=(-self.shift, -self.shift),
-                              axis=(1, 2))
-            xw = window_partition(xs, self.window)
+            xw = to_windows(x)
             wqkv = jnp.concatenate(
                 [attn["query"][0], attn["key"][0], attn["value"][0]],
                 axis=1).astype(self.dtype)
@@ -277,22 +347,14 @@ class SwinBlock(nn.Module):
                 xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
                 attn["proj"][0].astype(self.dtype), attn["proj"][1],
                 bias, mask, self.num_heads, LN_EPS)
-            xs = window_reverse(y, self.window, h, w)
-            if self.shift > 0:
-                xs = jnp.roll(xs, shift=(self.shift, self.shift),
-                              axis=(1, 2))
             x = shortcut + DropPath(self.drop_path)(
-                xs.reshape(b, l, c), deterministic)
+                from_windows(y), deterministic)
         else:
             x = _layer_norm(x, n1_scale, n1_bias, eps=LN_EPS)
             if self.calibrate:
                 self.sow("quant_calib", "attn_x",
                          jnp.max(jnp.abs(x.astype(jnp.float32))))
-            x = x.reshape(b, h, w, c)
-            if self.shift > 0:
-                x = jnp.roll(x, shift=(-self.shift, -self.shift),
-                             axis=(1, 2))
-            xw = window_partition(x, self.window)
+            xw = to_windows(x)
             sow_ctx = None
             if self.calibrate:
                 sow_ctx = lambda t: self.sow(
@@ -301,11 +363,8 @@ class SwinBlock(nn.Module):
             xw = _window_attn_apply(xw, attn, bias, mask, self.num_heads,
                                     use_pallas=pallas_ok, dtype=self.dtype,
                                     sow_ctx=sow_ctx)
-            x = window_reverse(xw, self.window, h, w)
-            if self.shift > 0:
-                x = jnp.roll(x, shift=(self.shift, self.shift), axis=(1, 2))
-            x = x.reshape(b, l, c)
-            x = shortcut + DropPath(self.drop_path)(x, deterministic)
+            x = shortcut + DropPath(self.drop_path)(
+                from_windows(xw), deterministic)
 
         return self._mlp_half(x, deterministic)
 
@@ -333,18 +392,15 @@ class SwinBlock(nn.Module):
                 a_ctx * qa["attn_wo_scale"].value,
                 attn["proj"][1].astype(jnp.float32))
 
-    def _attention_int8(self, x, attn_args, bias, mask, h, w):
-        """w8a8 attention half from pre-folded static scales: roll /
-        window-partition, then the fused int8 Pallas kernel on TPU, or an
-        XLA fallback with identical arithmetic (CPU tests, window-7
-        shapes). Serving-only — stop_gradient'ed."""
-        b, l, c = x.shape
+    def _attention_int8(self, xw, attn_args, bias, mask):
+        """w8a8 attention half on pre-partitioned (BW, N, C) windows: the
+        fused int8 Pallas kernel on TPU, or an XLA fallback with identical
+        arithmetic (CPU tests, window-7 shapes). Layout (roll/partition or
+        the resident-partitioned repartition) is the caller's job.
+        Serving-only — stop_gradient'ed."""
+        c = xw.shape[-1]
         (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
          bo) = attn_args
-        xs = x.reshape(b, h, w, c)
-        if self.shift > 0:
-            xs = jnp.roll(xs, shift=(-self.shift, -self.shift), axis=(1, 2))
-        xw = window_partition(xs, self.window)
 
         ow = None
         if self.use_pallas and jax.default_backend() == "tpu":
@@ -354,7 +410,7 @@ class SwinBlock(nn.Module):
                 sqkv_eff, bqkv_eff, wo_q, so_eff, bo, bias, mask,
                 self.num_heads, LN_EPS)
             if ow is not None:
-                ow = ow.astype(x.dtype)
+                ow = ow.astype(xw.dtype)
         if ow is None:
             # XLA fallback: same arithmetic, plain exp-domain softmax
             bw, n, _ = xw.shape
@@ -386,11 +442,8 @@ class SwinBlock(nn.Module):
                 preferred_element_type=jnp.int32)
             out = yo.astype(jnp.float32) * so_eff + bo
             ow = jax.lax.stop_gradient(
-                (out.reshape(bw, n, c) + xf).astype(x.dtype))
-        xs = window_reverse(ow, self.window, h, w)
-        if self.shift > 0:
-            xs = jnp.roll(xs, shift=(self.shift, self.shift), axis=(1, 2))
-        return xs.reshape(b, l, c)
+                (out.reshape(bw, n, c) + xf).astype(xw.dtype))
+        return ow
 
     def _mlp_half(self, x, deterministic):
         # norm2 as explicit scale/bias params (names match nn.LayerNorm, so
@@ -478,21 +531,44 @@ class SwinTransformer(nn.Module):
         dim = self.embed_dim
         block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
                      if self.remat else SwinBlock)
+        # Resident window-partitioned layout across each stage on the
+        # deterministic TPU serving path: partition once per stage, run
+        # the blocks window-partitioned (unshifted blocks then pay zero
+        # layout copies; shifted blocks one repartition each way), reverse
+        # once for PatchMerging. Measured at B=64 int8: the per-block
+        # partition/reverse+roll copies cost 15.9 ms of the 64.7 ms step
+        # (docs/DESIGN.md). Train keeps spatial I/O (DropPath draws its
+        # per-sample mask on the batch axis).
+        partitioned = (self.use_pallas and deterministic
+                       and not self.calibrate
+                       and not self.is_initializing()
+                       and jax.default_backend() == "tpu")
         for stage_i, depth in enumerate(self.depths):
+            win = min(self.window_size, res)
+            use_part = partitioned and res % win == 0
+            if use_part:
+                # transpose-based partition measured faster than the
+                # row-gather equivalent at stage boundaries (57.7 vs
+                # 58.9 ms e2e) — the narrow-row gather only wins where it
+                # replaces a 3-op reverse+roll+partition chain
+                x = window_partition(x.reshape(b, res, res, dim), win)
             for layer_i in range(depth):
                 shift = 0 if layer_i % 2 == 0 else self.window_size // 2
                 if res <= self.window_size:
                     shift = 0
                 x = block_cls(
                     dim=dim, num_heads=self.num_heads[stage_i], resolution=res,
-                    window=min(self.window_size, res), shift=shift,
+                    window=win, shift=shift,
                     drop_path=float(dprates[block_i]),
                     use_pallas=self.use_pallas,
                     int8_mlp=self.int8_mlp, int8_attn=self.int8_attn,
-                    calibrate=self.calibrate,
+                    calibrate=self.calibrate, partitioned_io=use_part,
                     name=f"stage{stage_i}_block{layer_i}",
                     dtype=self.dtype)(x, deterministic)
                 block_i += 1
+            if use_part:
+                x = window_reverse(x, win, res, res).reshape(
+                    b, res * res, dim)
             if stage_i < len(self.depths) - 1:
                 x = PatchMerging(dim=dim, resolution=res,
                                  name=f"stage{stage_i}_downsample",

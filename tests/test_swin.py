@@ -199,3 +199,68 @@ def test_fused_block_path_matches_unfused(monkeypatch):
     got = blk.apply(v, x)           # fused kernel path
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_repartition_matches_roll_chain():
+    """The single-gather repartition must equal the 3-op
+    reverse -> roll -> partition chain it replaces (both directions)."""
+    from geovpr.models.swin import repartition
+
+    rng = np.random.default_rng(1)
+    h = w = 24
+    window, shift = 12, 6
+    x = jnp.array(rng.normal(size=(3, h, w, 5)).astype(np.float32))
+    xw = window_partition(x, window)
+    for s, amt in ((-shift, shift), (shift, -shift)):
+        rolled = jnp.roll(window_reverse(xw, window, h, w),
+                          shift=(s, s), axis=(1, 2))
+        want = window_partition(rolled, window)
+        got = repartition(xw, window, h, w, amt)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_partitioned_block_io_matches_spatial():
+    """SwinBlock with partitioned_io=True (resident window-partitioned
+    layout) must compute exactly the partition of the spatial block's
+    output — shifted and unshifted, on the XLA path."""
+    from geovpr.models.swin import SwinBlock
+
+    res, window, c = 24, 12, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, res * res, c))
+    for shift in (0, 6):
+        spatial = SwinBlock(dim=c, num_heads=2, resolution=res,
+                            window=window, shift=shift, drop_path=0.0,
+                            use_pallas=False)
+        part = spatial.clone(partitioned_io=True)
+        v = spatial.init(jax.random.PRNGKey(1), x)
+        want = spatial.apply(v, x)
+        xw = window_partition(x.reshape(2, res, res, c), window)
+        got = part.apply(v, xw)
+        want_w = window_partition(
+            np.asarray(want).reshape(2, res, res, c), window)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want_w),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_partitioned_transformer_matches(monkeypatch):
+    """Full SwinTransformer under the resident-partitioned serving layout
+    (backend gate patched to 'tpu'; this SMALL config fails the fused
+    kernel's shape gate, so blocks run the XLA fallback *in partitioned
+    layout*, exercising stage-boundary conversion + shifted repartition +
+    MLP-in-window-layout plumbing) vs the plain CPU path."""
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_window_attention as pwa
+
+    model = SwinTransformer(**SMALL)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(3), x)
+    want = model.apply(v, x).pooled
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        pwa.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = model.apply(v, x).pooled
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
