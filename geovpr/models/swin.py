@@ -24,6 +24,7 @@ shapes anywhere.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -128,23 +129,37 @@ def _repartition_perm(h: int, w: int, window: int,
     return ((sy * nw_x + sx) * n + sry * window + srx).astype(np.int32)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def repartition(xw: jax.Array, window: int, h: int, w: int,
                 shift_amt: int) -> jax.Array:
     """Roll the underlying image by -shift_amt on both spatial axes WITHOUT
     leaving the (B*nW, N, C) partitioned layout — a single static gather
-    per image (see _repartition_perm). Two dead ends recorded here: a
-    "grouped" gather over contiguous g-row runs as (L/g, g*C) super-rows
-    measured SLOWER e2e (71.3 vs 57.7 ms — the reshape is a physical
-    relayout on TPU tiled memory, not a bitcast), and replacing the
-    stage-boundary partition/reverse transposes with this gather was also
-    slower (58.9 vs 57.7) — the gather only wins where it replaces the
-    3-op reverse+roll+partition chain."""
+    per image (see _repartition_perm). The VJP is the inverse permutation
+    as another gather (a permutation's adjoint is its inverse; letting
+    autodiff differentiate jnp.take would emit a scatter instead). Two
+    dead ends recorded here: a "grouped" gather over contiguous g-row runs
+    as (L/g, g*C) super-rows measured SLOWER e2e (71.3 vs 57.7 ms — the
+    reshape is a physical relayout on TPU tiled memory, not a bitcast),
+    and replacing the stage-boundary partition/reverse transposes with
+    this gather was also slower (58.9 vs 57.7) — the gather only wins
+    where it replaces the 3-op reverse+roll+partition chain."""
     bw, n, c = xw.shape
     nw = (h // window) * (w // window)
     b = bw // nw
     perm = jnp.asarray(_repartition_perm(h, w, window, shift_amt))
     y = jnp.take(xw.reshape(b, h * w, c), perm, axis=1)
     return y.reshape(bw, n, c)
+
+
+def _repartition_fwd(xw, window, h, w, shift_amt):
+    return repartition(xw, window, h, w, shift_amt), None
+
+
+def _repartition_bwd(window, h, w, shift_amt, _, g):
+    return (repartition(g, window, h, w, -shift_amt),)
+
+
+repartition.defvjp(_repartition_fwd, _repartition_bwd)
 
 
 class SwinAttnParams(nn.Module):
@@ -284,6 +299,18 @@ class SwinBlock(nn.Module):
                               axis=(1, 2))
             return ts.reshape(b, l, c)
 
+        def residual_drop(t):
+            """shortcut + DropPath(t), drawing the stochastic-depth mask
+            per IMAGE even in partitioned layout (whose leading axis is
+            B*nW, not B — a per-window mask would change the reference's
+            per-sample DropPath semantics). The (B*nW, N, C) <->
+            (B, nW*N, C) reshapes are free (contiguous)."""
+            dp = DropPath(self.drop_path)
+            if self.partitioned_io:
+                tb = dp(t.reshape(b, nw * n, c), deterministic)
+                return shortcut + tb.reshape(b * nw, n, c)
+            return shortcut + dp(t, deterministic)
+
         if self.int8_attn:
             d = self.dim
             qa = {
@@ -347,8 +374,7 @@ class SwinBlock(nn.Module):
                 xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
                 attn["proj"][0].astype(self.dtype), attn["proj"][1],
                 bias, mask, self.num_heads, LN_EPS)
-            x = shortcut + DropPath(self.drop_path)(
-                from_windows(y), deterministic)
+            x = residual_drop(from_windows(y))
         else:
             x = _layer_norm(x, n1_scale, n1_bias, eps=LN_EPS)
             if self.calibrate:
@@ -363,8 +389,7 @@ class SwinBlock(nn.Module):
             xw = _window_attn_apply(xw, attn, bias, mask, self.num_heads,
                                     use_pallas=pallas_ok, dtype=self.dtype,
                                     sow_ctx=sow_ctx)
-            x = shortcut + DropPath(self.drop_path)(
-                from_windows(xw), deterministic)
+            x = residual_drop(from_windows(xw))
 
         return self._mlp_half(x, deterministic)
 
@@ -463,7 +488,13 @@ class SwinBlock(nn.Module):
                               jnp.ones((c,), jnp.float32), LN_EPS))
         y = _layer_norm(x, n2_scale, n2_bias, eps=LN_EPS)
         y = mlp(y, deterministic=deterministic)
-        return x + DropPath(self.drop_path)(y, deterministic)
+        dp = DropPath(self.drop_path)
+        if self.partitioned_io:
+            # per-IMAGE stochastic-depth mask (see residual_drop)
+            b = x.shape[0] * x.shape[1] // (self.resolution ** 2)
+            yb = dp(y.reshape(b, -1, self.dim), deterministic)
+            return x + yb.reshape(x.shape)
+        return x + dp(y, deterministic)
 
 
 class PatchMerging(nn.Module):
@@ -531,18 +562,25 @@ class SwinTransformer(nn.Module):
         dim = self.embed_dim
         block_cls = (nn.remat(SwinBlock, static_argnums=(2,))
                      if self.remat else SwinBlock)
-        # Resident window-partitioned layout across each stage on the
-        # deterministic TPU serving path: partition once per stage, run
-        # the blocks window-partitioned (unshifted blocks then pay zero
-        # layout copies; shifted blocks one repartition each way), reverse
-        # once for PatchMerging. Measured at B=64 int8: the per-block
+        # Resident window-partitioned layout across each stage on the TPU
+        # path (serving AND training): partition once per stage, run the
+        # blocks window-partitioned (unshifted blocks then pay zero layout
+        # copies; shifted blocks one static-gather repartition each way,
+        # with the inverse-permutation gather as its VJP), reverse once
+        # for PatchMerging. Measured at B=64 int8 eval: the per-block
         # partition/reverse+roll copies cost 15.9 ms of the 64.7 ms step
-        # (docs/DESIGN.md). Train keeps spatial I/O (DropPath draws its
-        # per-sample mask on the batch axis).
-        partitioned = (self.use_pallas and deterministic
-                       and not self.calibrate
-                       and not self.is_initializing()
-                       and jax.default_backend() == "tpu")
+        # (docs/DESIGN.md). DropPath masks are drawn per image via a free
+        # reshape (SwinBlock.residual_drop).
+        override = os.environ.get("GEOVPR_SWIN_PARTITIONED")
+        if override is not None:
+            # trace-time escape hatch: A/B layout benchmarking in one
+            # process, and CPU coverage of the partitioned plumbing
+            partitioned = override == "1"
+        else:
+            partitioned = (self.use_pallas
+                           and jax.default_backend() == "tpu")
+        partitioned = (partitioned and not self.calibrate
+                       and not self.is_initializing())
         for stage_i, depth in enumerate(self.depths):
             win = min(self.window_size, res)
             use_part = partitioned and res % win == 0

@@ -264,3 +264,53 @@ def test_partitioned_transformer_matches(monkeypatch):
     got = model.apply(v, x).pooled
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_partitioned_block_grads_match_spatial():
+    """Gradients through the partitioned layout (including the
+    custom-VJP inverse-permutation gather of `repartition`) must equal
+    the spatial block's gradients."""
+    from geovpr.models.swin import SwinBlock
+
+    res, window, c = 24, 12, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, res * res, c))
+    spatial = SwinBlock(dim=c, num_heads=2, resolution=res, window=window,
+                        shift=6, drop_path=0.0, use_pallas=False)
+    part = spatial.clone(partitioned_io=True)
+    v = spatial.init(jax.random.PRNGKey(1), x)
+    xw = window_partition(x.reshape(2, res, res, c), window)
+
+    def loss_spatial(v, x):
+        return jnp.sum(spatial.apply(v, x) ** 2)
+
+    def loss_part(v, xw):
+        return jnp.sum(part.apply(v, xw) ** 2)
+
+    g_s = jax.grad(loss_spatial)(v, x)
+    g_p = jax.grad(loss_part)(v, xw)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-4, atol=2e-4),
+        g_s, g_p)
+    gx_s = jax.grad(loss_spatial, argnums=1)(v, x)
+    gx_p = jax.grad(loss_part, argnums=1)(v, xw)
+    np.testing.assert_allclose(
+        np.asarray(window_partition(gx_s.reshape(2, res, res, c), window)),
+        np.asarray(gx_p), rtol=2e-4, atol=2e-4)
+
+
+def test_partitioned_transformer_train_mode(monkeypatch):
+    """Full model, non-deterministic (DropPath active), partitioned layout
+    forced on CPU via the env override: must match the spatial path
+    bit-for-bit — the per-image DropPath masks are drawn from the same rng
+    streams in both layouts."""
+    model = SwinTransformer(**{**SMALL, "drop_path_rate": 0.2},
+                            use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    v = model.init(jax.random.PRNGKey(5), x)
+    rngs = {"dropout": jax.random.PRNGKey(6)}
+    want = model.apply(v, x, deterministic=False, rngs=rngs).pooled
+    monkeypatch.setenv("GEOVPR_SWIN_PARTITIONED", "1")
+    got = model.apply(v, x, deterministic=False, rngs=rngs).pooled
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
