@@ -101,7 +101,13 @@ def fused_mlp_block_int8(x: jax.Array, ln_scale_q: jax.Array,
         out_specs=pl.BlockSpec((_ROW_BLOCK, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+            dimension_semantics=("parallel",),
+            # the ~16 MB default scope sits within 600 KB of this kernel's
+            # stack at Swin stage-3 shapes (C=1024: the f32 hidden block
+            # alone is 8 MB) and intermittently OOMs across remote
+            # compiles; 28 MB matches the other serving kernels, and the
+            # knob measured flat 28-96 MB on the int8 path (DESIGN.md)
+            vmem_limit_bytes=28 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * m * d * hidden,
             bytes_accessed=2 * m * d * x.dtype.itemsize + 2 * d * hidden,

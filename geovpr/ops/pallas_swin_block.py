@@ -57,6 +57,10 @@ _LOG2E = math.log2(math.e)
 # live f32 score+probability planes per program (stage-split keeps all
 # wb*H of them); budget steers the windows-per-program choice
 _PLANE_BUDGET = 8 * 1024 * 1024
+# schedule-steering scope shared by every kernel in this module — same
+# measured rationale as the MHSA/window kernels (docs/DESIGN.md); swept
+# jointly with _PLANE_BUDGET, (8 MB, 28 MB) is the e2e optimum
+_VMEM_LIMIT = 28 * 1024 * 1024
 
 
 def pick_windows_per_program(bw: int, n: int, num_heads: int) -> int:
@@ -519,7 +523,7 @@ def _swin_attn_bwd_all_pallas(xw, qkv, p, ctx, g, wqkv, wo, ln_scale,
         scratch_shapes=[pltpu.VMEM((wb * n, 3 * c), qkv.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=28 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=(6 * bw * num_heads * n * n * dh_
                    + 16 * bw * n * c * c),
@@ -630,7 +634,7 @@ def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
             dimension_semantics=("parallel",),
             # same measured-scope rationale as the stage-split MHSA/window
             # kernels (docs/DESIGN.md)
-            vmem_limit_bytes=28 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
             bytes_accessed=2 * bw * n * c * xw.dtype.itemsize,
@@ -729,7 +733,7 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
         scratch_shapes=[pltpu.VMEM((wb * n, c), jnp.int8)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=28 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
             bytes_accessed=2 * bw * n * c * xw.dtype.itemsize,
@@ -792,7 +796,7 @@ def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
                    row_spec(num_heads * n)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=28 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
             bytes_accessed=(6 * bw * n * c + bw * num_heads * n * n)
@@ -837,7 +841,7 @@ def _swin_attn_bwd_pallas(qkv, p, da, num_heads: int, n: int):
                                 memory_space=pltpu.VMEM)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=28 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=6 * bw * num_heads * n * n * dh,
             bytes_accessed=(4 * m * c + m * num_heads * n)
