@@ -34,11 +34,15 @@ Differences from the ViT kernel:
 - no CLS key-split (windows are exactly N tokens) and no LayerScale
   (Swin has none).
 
-Autodiff: forward runs the kernel; backward re-derives gradients from
-the XLA reference (`_swin_attn_block_xla`) — the production train path
-uses the unfused XLA attention anyway (see SwinBlock), this VJP exists
-so a differentiated eval graph stays correct rather than silently
-returning zeros.
+Autodiff: `fused_swin_attn_block` (the serving entry, residual fused
+in) carries a recompute VJP through the XLA reference
+(`_swin_attn_block_xla`) only so a differentiated *eval* graph stays
+correct. The production train path does NOT use it: `SwinBlock`
+dispatches training to `fused_swin_attn_train` below — a forward kernel
+that saves qkv/context residuals plus a structured Pallas backward
+(`_train_bwd_all_kernel` / the split `_train_bwd_kernel`) that
+recomputes probabilities in VMEM and emits dqkv and the
+relative-position-bias gradient (see models/swin.py train fast path).
 """
 
 from __future__ import annotations
