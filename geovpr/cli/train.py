@@ -34,7 +34,16 @@ def main(argv=None):
                         "HF/hub checkpoint with `python -m geovpr.cli."
                         "convert` (the reference's pretrained loads, e.g. "
                         "swin_attempt_2.py:117)")
-    p.add_argument("--resume", default="", help="run dir to resume from")
+    p.add_argument("--resume", default="", help="run dir to resume from "
+                   "(errors if it holds no checkpoint)")
+    p.add_argument("--auto-resume", default="",
+                   help="run dir for idempotent relaunch: resume from its "
+                        "latest checkpoint if one exists, else start a "
+                        "FRESH run in exactly this dir. A supervisor/"
+                        "preemption restart loop can re-issue the same "
+                        "command unconditionally (SURVEY §5 best-checkpoint "
+                        "auto-restart; the reference's crash story is "
+                        "'rerun by hand', swin_finetuning_bigger_model.py)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of a few steady-state "
                         "steps into <run_dir>/profile")
@@ -52,6 +61,8 @@ def main(argv=None):
     p.add_argument("--num-processes", type=int, default=0)
     p.add_argument("--process-id", type=int, default=-1)
     args = p.parse_args(argv)
+    if args.resume and args.auto_resume:
+        p.error("--resume and --auto-resume are mutually exclusive")
 
     if args.multihost:
         from geovpr.parallel import initialize_distributed
@@ -137,43 +148,31 @@ def main(argv=None):
         scaler=scaler,
         pretrained_variables=pretrained,
         # resuming continues the ORIGINAL run dir — naming one here would
-        # also create a stray empty timestamped dir
-        run_dir=args.resume or "",
+        # also create a stray empty timestamped dir. --auto-resume pins the
+        # run dir either way so a later relaunch finds the same run.
+        run_dir=args.resume or args.auto_resume or "",
     )
 
     steps_per_epoch = Trainer.steps_per_epoch(
         len(train_manifest.filenames), data)
     start_epoch = 0
-    if args.resume:
-        from geovpr.train.checkpoint import latest_checkpoint, restore_checkpoint
+    resume_dir = args.resume or args.auto_resume
+    if resume_dir:
         # schedules need the SAME step horizon as the original run —
         # total_steps=0 would give cosine schedules a 1-step horizon and
         # silently zero the LR for the whole resumed run
         trainer.init_state((data.image_size, data.image_size, 3),
                            total_steps=steps_per_epoch * train_cfg.epochs,
                            steps_per_epoch=steps_per_epoch)
-        ckpt = latest_checkpoint(args.resume)
-        if ckpt is None:
-            raise SystemExit(f"no checkpoint under {args.resume}")
         try:
-            trainer.state, ckpt_epoch = restore_checkpoint(ckpt, trainer.state)
-        except Exception as e:
-            # one legitimate mismatch exists: a checkpoint written in the
-            # post-unfreeze phase has a different opt_state tree than the
-            # frozen-warmup template — rebuild phase-2 and retry once,
-            # chaining the original error if the retry fails too
-            if not trainer._frozen_phase:
-                raise
-            trainer._unfreeze()
-            try:
-                trainer.state, ckpt_epoch = restore_checkpoint(
-                    ckpt, trainer.state)
-            except Exception as e2:
-                raise RuntimeError(
-                    f"could not restore {ckpt} with either the frozen-phase "
-                    f"or unfrozen optimizer template") from e
-        start_epoch = ckpt_epoch + 1
-        print(f"resumed from {ckpt}; continuing at epoch {start_epoch}")
+            start_epoch = trainer.restore_latest(
+                resume_dir, require=bool(args.resume))
+        except FileNotFoundError as e:
+            raise SystemExit(str(e))
+        if start_epoch:
+            print(f"resumed {resume_dir}; continuing at epoch {start_epoch}")
+        else:
+            print(f"no checkpoint under {resume_dir}; starting fresh there")
 
     # validation uses the eval-time transform (e.g. Resize(256)+CenterCrop,
     # validation_script.py:124-129) so best-checkpoint selection scores the

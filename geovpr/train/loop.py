@@ -114,6 +114,46 @@ class Trainer:
             pretrained_variables=self.pretrained_variables)
         return self.state
 
+    def restore_latest(self, run_dir: str, require: bool = False) -> int:
+        """Restore `self.state` from the newest `checkpoint_{epoch}` under
+        `run_dir` and return the epoch to continue at (SURVEY §5
+        "best-checkpoint auto-restart": relaunching the same command after a
+        crash/preemption picks the run up exactly where its last completed
+        checkpoint left it; tests/test_train.py TestCrashRecovery SIGKILLs a
+        run mid-epoch and proves the restarted trajectory matches an
+        unbroken one).
+
+        Returns 0 when no checkpoint exists — the auto-resume fresh-start
+        case — unless `require` (the explicit `--resume` contract, where a
+        missing checkpoint is an operator error). `init_state` must already
+        have been called with the original run's schedule horizon."""
+        from geovpr.train.checkpoint import (latest_checkpoint,
+                                             restore_checkpoint)
+        if self.state is None:
+            raise RuntimeError("call init_state() before restore_latest()")
+        ckpt = latest_checkpoint(run_dir)
+        if ckpt is None:
+            if require:
+                raise FileNotFoundError(f"no checkpoint under {run_dir}")
+            return 0
+        try:
+            self.state, ckpt_epoch = restore_checkpoint(ckpt, self.state)
+        except Exception as e:
+            # one legitimate mismatch exists: a checkpoint written in the
+            # post-unfreeze phase has a different opt_state tree than the
+            # frozen-warmup template — rebuild phase-2 and retry once,
+            # chaining the original error if the retry fails too
+            if not self._frozen_phase:
+                raise
+            self._unfreeze()
+            try:
+                self.state, ckpt_epoch = restore_checkpoint(ckpt, self.state)
+            except Exception:
+                raise RuntimeError(
+                    f"could not restore {ckpt} with either the frozen-phase "
+                    f"or unfrozen optimizer template") from e
+        return ckpt_epoch + 1
+
     @staticmethod
     def steps_per_epoch(n: int, data_cfg: DataConfig) -> int:
         """Optimizer steps per epoch — the single source of truth shared

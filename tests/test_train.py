@@ -625,3 +625,133 @@ class TestDropRemainderParity:
         hist = tr.fit(src, epochs=1)
         assert np.isfinite(hist[0]["train_loss"])
         assert int(tr.state.step) == 2
+
+
+class TestCrashRecovery:
+    """SURVEY §5 'best-checkpoint auto-restart': SIGKILL a real training
+    process mid-epoch, relaunch the SAME command (Trainer.restore_latest —
+    the --auto-resume path), and prove the restarted run's final parameters
+    are bit-identical to an unbroken run's. Runs training in subprocesses
+    because an in-process kill can't model a preemption."""
+
+    RUNNER = r'''
+import os, sys, time
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+
+from geovpr.core.config import DataConfig, OptimConfig, TrainConfig
+from geovpr.data.pipeline import ArraySource
+from geovpr.models.backbone import BackboneOutput
+from geovpr.objectives.scaler import fit_scaler
+from geovpr.objectives.workloads import GeoposeObjective
+from geovpr.train import Trainer
+
+
+class TinyModel(nn.Module):
+    @nn.compact
+    def __call__(self, x, train=False, deterministic=True):
+        h = nn.relu(nn.Conv(16, (3, 3), strides=(2, 2), name="backbone")(x))
+        return nn.Dense(2, name="head_out")(jnp.mean(h, axis=(1, 2)))
+
+
+def source(n=64, size=32, seed=0):
+    rng = np.random.default_rng(seed)
+    lat01 = rng.uniform(0, 1, n).astype(np.float32)
+    lon01 = rng.uniform(0, 1, n).astype(np.float32)
+    ramp = np.linspace(-1, 1, size, dtype=np.float32)[None, None, :, None]
+    imgs = np.clip(lat01[:, None, None, None] * 180 + 40
+                   + lon01[:, None, None, None] * 60 * ramp, 0, 255)
+    targets = np.stack([219000 + lat01 * 2000, 143000 + lon01 * 3000], 1)
+    return ArraySource(images=imgs.astype(np.uint8),
+                       targets=targets.astype(np.float32))
+
+
+run_dir, epochs, step_delay = sys.argv[1], int(sys.argv[2]), float(sys.argv[3])
+src = source()
+trainer = Trainer(
+    model=TinyModel(),
+    objective=GeoposeObjective(loss_name="mse"),
+    optim_cfg=OptimConfig(lr=3e-3, schedule="constant"),
+    train_cfg=TrainConfig(epochs=epochs, seed=0, checkpoint_every=1,
+                          keep_checkpoints=10, donate_state=False),
+    data_cfg=DataConfig(batch_size=16, augment="none"),
+    scaler=fit_scaler(jnp.asarray(src.targets)),
+    run_dir=run_dir,
+)
+spe = Trainer.steps_per_epoch(len(src), trainer.data_cfg)
+trainer.init_state((32, 32, 3), total_steps=spe * epochs, steps_per_epoch=spe)
+start = trainer.restore_latest(run_dir)  # the shipped --auto-resume path
+if step_delay:
+    real_step = trainer._train_step
+    def slowed(state, batch):
+        time.sleep(step_delay)
+        return real_step(state, batch)
+    trainer._train_step = slowed
+trainer.fit(src, src, start_epoch=start)
+leaves = jax.tree_util.tree_leaves(trainer.state.params)
+np.savez(os.path.join(run_dir, "final_params.npz"),
+         *[np.asarray(l) for l in leaves])
+print("DONE", start)
+'''
+
+    def _launch(self, script, run_dir, epochs, delay):
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        return subprocess.Popen(
+            [sys.executable, script, run_dir, str(epochs), str(delay)],
+            cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+    def test_sigkill_mid_epoch_then_auto_resume_matches_unbroken(
+            self, tmp_path):
+        import signal
+        import time
+
+        script = str(tmp_path / "runner.py")
+        with open(script, "w") as f:
+            f.write(self.RUNNER)
+        epochs = 4
+
+        # unbroken reference run
+        a_dir = str(tmp_path / "a")
+        proc = self._launch(script, a_dir, epochs, 0.0)
+        out, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, out
+        assert "DONE 0" in out
+
+        # crashed run: slow steps so the kill lands mid-epoch, wait for the
+        # epoch-1 checkpoint to COMPLETE (its metrics sidecar is written
+        # after the Orbax atomic rename), then SIGKILL with epochs to spare
+        b_dir = str(tmp_path / "b")
+        proc = self._launch(script, b_dir, epochs, 0.15)
+        sidecar = os.path.join(b_dir, "checkpoint_1", "run_metrics.json")
+        deadline = time.time() + 300
+        while not os.path.exists(sidecar):
+            assert proc.poll() is None, proc.communicate()[0]
+            assert time.time() < deadline, "checkpoint_1 never appeared"
+            time.sleep(0.02)
+        proc.send_signal(signal.SIGKILL)
+        proc.communicate(timeout=60)
+        assert proc.returncode == -signal.SIGKILL
+        assert not os.path.exists(os.path.join(b_dir, "final_params.npz"))
+
+        # relaunch the SAME command — restore_latest picks up the newest
+        # completed checkpoint and the run finishes
+        proc = self._launch(script, b_dir, epochs, 0.0)
+        out, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, out
+        assert "DONE" in out and "DONE 0" not in out  # actually resumed
+
+        # bit-identical final parameters: the discarded partial epoch is
+        # re-run from the restored state exactly as the unbroken run ran it
+        a = np.load(os.path.join(a_dir, "final_params.npz"))
+        b = np.load(os.path.join(b_dir, "final_params.npz"))
+        assert list(a.files) == list(b.files) and len(a.files) > 0
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k])
