@@ -356,6 +356,107 @@ def bench_swin_train(args):
           f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
 
 
+def bench_retrieval(args):
+    """--retrieval: HBM-resident descriptor search throughput at production
+    scale — N x 8448 gallery (SALAD descriptor width), cosine top-k on the
+    MXU, int8 (per-row PTQ) vs bf16 rows. The north-star surface is
+    BASELINE.json's "HBM-resident cosine-similarity matmul + on-device
+    top-k"; the reference has no retrieval at all (SURVEY.md §0). Queries
+    run through the index's chunked-search arithmetic (one
+    (query_chunk, N) score plane live at a time) so the number reflects
+    the shipped memory-bounded path."""
+    import jax
+    import jax.numpy as jnp
+
+    from geovpr.retrieval.index import DescriptorIndex, _quantize_rows
+
+    if args.smoke:
+        n_db, dim, n_q, k, iters, chunk = 2048, 256, 256, 10, 2, 128
+    else:
+        n_db = args.num_images or 100_000
+        dim, n_q, k, iters, chunk = 8448, 4096, 10, max(args.iters // 2, 4), 1024
+
+    # gallery + queries generated ON DEVICE: a 100k x 8448 f32 host array
+    # would cost 3.4 GB of host RAM and minutes of tunnel H2D
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def make(seed, n):
+        x = jax.random.normal(jax.random.PRNGKey(seed), (n, dim), jnp.float32)
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    db_f32 = make(0, n_db)
+    queries = make(1, n_q)
+    results = {}
+    for mode in ("bf16", "int8"):
+        quant = mode == "int8"
+        index = DescriptorIndex(dim=dim, quantize=quant,
+                                dtype=jnp.bfloat16, query_chunk=chunk)
+        index.build(db_f32)
+        db, db_scale = index._db, index._db_scale
+        jax.block_until_ready(db)
+        hbm_gb = (db.size * db.dtype.itemsize
+                  + (db_scale.size * 4 if quant else 0)) / 1e9
+
+        # correctness probe through the PUBLIC search API: the first 512
+        # queries are db rows 0..511 perturbed — top-1 must recover them
+        probe = db_f32[:512] + 1e-3 * make(2, 512)
+        _, top = index.search(probe, k=1)
+        import numpy as np
+        r1 = float((np.asarray(top)[:, 0] == np.arange(512)).mean())
+
+        n_chunks = n_q // chunk
+        scores_fn = DescriptorIndex._scores
+
+        # timing: iterations chained inside ONE compiled scan (per-call
+        # tunnel dispatch would otherwise dominate; see "Honest
+        # benchmarking" in docs/DESIGN.md). db rides as a jit ARGUMENT —
+        # closing over a GB-scale constant overflows the remote compiler.
+        @functools.partial(jax.jit, static_argnums=())
+        def run(db, db_scale, q):
+            def one_chunk(qb, qsb):
+                return jax.lax.top_k(
+                    scores_fn(qb, qsb, db, db_scale), k)
+
+            def body(qv, _):
+                # per-row query quantization at search time is part of the
+                # real int8 serving cost
+                qq, qs = _quantize_rows(qv) if quant else (
+                    qv.astype(jnp.bfloat16), None)
+                s, i = DescriptorIndex._map_chunks(
+                    one_chunk, qq, qs, n_chunks, n_q, k)
+                qv = qv + (s[0, 0] * 1e-24).astype(qv.dtype)
+                return qv, s[0, 0]
+            _, probes = jax.lax.scan(body, q, None, length=iters)
+            return probes
+
+        db_args = (db, db_scale) if quant else (db, None)
+        jax.device_get(run(*db_args, queries))  # compile + warmup
+        times = []
+        for r in range(2 if args.smoke else 3):
+            qv = queries * (1.0 + 1e-6 * r)
+            qv.block_until_ready()
+            t0 = time.perf_counter()
+            jax.device_get(run(*db_args, qv))
+            times.append((time.perf_counter() - t0) / iters)
+        best = min(times)
+        results[mode] = {"qps": n_q / best, "ms": best * 1e3,
+                         "hbm_gb": hbm_gb, "recall1": r1}
+        del index, db, db_scale, db_args
+
+    q8 = results["int8"]
+    print(json.dumps({
+        "metric": "retrieval_search_throughput_int8",
+        "value": round(q8["qps"], 1),
+        "unit": f"queries/sec vs {n_db}x{dim} gallery",
+        "vs_baseline": round(q8["qps"] / results["bf16"]["qps"], 4),
+    }))
+    for mode, r in results.items():
+        print(f"# {mode}: {r['qps']:.0f} q/s ({r['ms']:.2f} ms/{n_q} "
+              f"queries, k={k}), gallery {r['hbm_gb']:.2f} GB HBM, "
+              f"probe recall@1={r['recall1']:.4f}", file=sys.stderr)
+    print(f"# backend={jax.default_backend()} chunk={chunk} "
+          f"iters={iters}", file=sys.stderr)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--smoke", action="store_true")
@@ -384,6 +485,10 @@ def main():
     parser.add_argument("--bf16", action="store_true",
                         help="benchmark the unquantized bf16 path instead "
                              "of the int8 serving configuration")
+    parser.add_argument("--retrieval", action="store_true",
+                        help="benchmark HBM-resident descriptor search "
+                             "(100k x 8448 gallery, int8 vs bf16, chunked "
+                             "cosine top-k on device)")
     parser.add_argument("--num-images", type=int, default=0)
     parser.add_argument("--jpeg-size", type=int, default=0)
     parser.add_argument("--threads", type=int, default=0)
@@ -391,6 +496,9 @@ def main():
 
     if args.from_jpeg:
         bench_input_pipeline(args)
+        return
+    if args.retrieval:
+        bench_retrieval(args)
         return
     if args.swin_eval:
         bench_swin_eval(args)

@@ -84,6 +84,11 @@ class DescriptorIndex:
     mesh: Optional[Mesh] = None
     axis: str = "data"
     quantize: bool = False
+    # static query-chunk size: `search` scans over ceil(Q/chunk) blocks so
+    # the f32 score plane held live is (chunk, shard_rows) instead of
+    # (Q, shard_rows) — a 100k-query sweep of a 1M-row gallery would
+    # otherwise materialize a 400 GB plane and OOM HBM. 0 disables chunking.
+    query_chunk: int = 1024
     _db: Optional[jax.Array] = None
     _db_scale: Optional[jax.Array] = None
     _n: int = 0
@@ -157,30 +162,77 @@ class DescriptorIndex:
                           db.astype(jnp.float32).T,
                           preferred_element_type=jnp.float32)
 
+    def _pad_queries(self, q, q_scale):
+        """Pad the query rows to a multiple of `query_chunk` (when chunking
+        is active) so the scan has a static block shape. Returns
+        (q, q_scale, n_chunks, Q_real); n_chunks == 1 means single-shot."""
+        n_q = q.shape[0]
+        chunk = self.query_chunk
+        if not chunk or n_q <= chunk:
+            return q, q_scale, 1, n_q
+        pad = (-n_q) % chunk
+        if pad:
+            q = jnp.concatenate(
+                [q, jnp.zeros((pad, self.dim), q.dtype)], axis=0)
+            if q_scale is not None:
+                q_scale = jnp.concatenate(
+                    [q_scale, jnp.ones((pad,), q_scale.dtype)])
+        return q, q_scale, q.shape[0] // chunk, n_q
+
+    @staticmethod
+    def _map_chunks(fn, q, q_scale, n_chunks, n_q, k):
+        """Run `fn(q_blk, qs_blk) -> (scores, idx)` over n_chunks static
+        query blocks via lax.map (a compiled scan: one live score plane at a
+        time) and re-flatten, slicing off the padded query rows."""
+        if n_chunks == 1:
+            scores, idx = fn(q, q_scale)
+            return scores[:n_q], idx[:n_q]
+        chunk = q.shape[0] // n_chunks
+        qb = q.reshape(n_chunks, chunk, q.shape[1])
+        if q_scale is None:
+            scores, idx = jax.lax.map(lambda b: fn(b, None), qb)
+        else:
+            qsb = q_scale.reshape(n_chunks, chunk)
+            scores, idx = jax.lax.map(lambda b: fn(*b), (qb, qsb))
+        return (scores.reshape(-1, k)[:n_q], idx.reshape(-1, k)[:n_q])
+
     def search(self, queries: jax.Array, k: int):
         """Returns (scores (Q, k), indices (Q, k)) of cosine top-k matches.
-        Padded rows are masked to -inf so they can never appear in the
-        top-k."""
+        Padded database rows are masked to -inf so they can never appear in
+        the top-k; queries are processed in `query_chunk`-row blocks so HBM
+        holds one (chunk, shard_rows) score plane at a time."""
         if self._db is None:
             raise ValueError("index not built")
+        if k > self._n:
+            raise ValueError(f"k={k} exceeds index size {self._n}")
         q, q_scale = self._prep_queries(queries)
+        q, q_scale, n_chunks, n_q = self._pad_queries(q, q_scale)
+
         if self.mesh is None:
-            return jax.lax.top_k(
-                self._scores(q, q_scale, self._db, self._db_scale), k)
+            db, db_scale = self._db, self._db_scale
+            return self._map_chunks(
+                lambda qb, qsb: jax.lax.top_k(
+                    self._scores(qb, qsb, db, db_scale), k),
+                q, q_scale, n_chunks, n_q, k)
 
         mesh, axis = self.mesh, self.axis
         n_shards = mesh.shape[axis]
         shard_rows = self._db.shape[0] // n_shards
 
-        if k > self._n:
-            raise ValueError(f"k={k} exceeds index size {self._n}")
         db_args = ((self._db, self._db_scale) if self.quantize
                    else (self._db,))
         q_args = (q, q_scale) if self.quantize else (q,)
-        if k in self._search_cache:
-            return self._search_cache[k](*db_args, *q_args)
+        # the compiled searcher bakes in the chunk count — jit retraces on a
+        # changed query shape, but the host-side cache key must distinguish
+        # chunk layouts too
+        cache_key = (k, n_chunks, q.shape[0])
+        if cache_key in self._search_cache:
+            out = self._search_cache[cache_key](*db_args, *q_args)
+            return out[0][:n_q], out[1][:n_q]
         # each shard can contribute at most its own rows; n_shards * local_k
-        # always covers the global k because k <= total rows
+        # always covers the global k because k <= total rows (pigeonhole:
+        # the true global top-k draws at most shard_rows entries from any
+        # one shard) — tests/test_retrieval.py covers k > shard_rows
         local_k = min(k, shard_rows)
 
         n_real = self._n
@@ -191,22 +243,30 @@ class DescriptorIndex:
                 db_shard, dbs_shard, q_rep, qs_rep = ops
             else:
                 (db_shard, q_rep), dbs_shard, qs_rep = ops, None, None
-            # db_shard: (rows, D) local; q_rep: (Q, D) replicated
-            plane = self._scores(q_rep, qs_rep, db_shard, dbs_shard)
-            scores, idx = jax.lax.top_k(plane, local_k)
-            shard_i = jax.lax.axis_index(axis)
-            idx = idx + shard_i * shard_rows
-            # padded zero rows score exactly 0, which OUTRANKS real
-            # negative-cosine matches (SALAD descriptors have negative
-            # components) — force them below any real score
-            scores = jnp.where(idx < n_real, scores, -jnp.inf)
-            # gather candidates from all shards: (n_shards*k) per query
-            all_scores = jax.lax.all_gather(scores, axis, axis=1)
-            all_idx = jax.lax.all_gather(idx, axis, axis=1)
-            all_scores = all_scores.reshape(all_scores.shape[0], -1)
-            all_idx = all_idx.reshape(all_idx.shape[0], -1)
-            best, pos = jax.lax.top_k(all_scores, k)
-            return best, jnp.take_along_axis(all_idx, pos, axis=1)
+
+            def one_chunk(q_blk, qs_blk):
+                # db_shard: (rows, D) local; q_blk: (chunk, D) replicated
+                plane = self._scores(q_blk, qs_blk, db_shard, dbs_shard)
+                scores, idx = jax.lax.top_k(plane, local_k)
+                shard_i = jax.lax.axis_index(axis)
+                idx = idx + shard_i * shard_rows
+                # padded zero rows score exactly 0, which OUTRANKS real
+                # negative-cosine matches (SALAD descriptors have negative
+                # components) — force them below any real score
+                scores = jnp.where(idx < n_real, scores, -jnp.inf)
+                # gather candidates from all shards: (n_shards*local_k)
+                # per query
+                all_scores = jax.lax.all_gather(scores, axis, axis=1)
+                all_idx = jax.lax.all_gather(idx, axis, axis=1)
+                all_scores = all_scores.reshape(all_scores.shape[0], -1)
+                all_idx = all_idx.reshape(all_idx.shape[0], -1)
+                best, pos = jax.lax.top_k(all_scores, k)
+                return best, jnp.take_along_axis(all_idx, pos, axis=1)
+
+            # chunk INSIDE the shard_map: one shard_map dispatch, one live
+            # (chunk, shard_rows) plane per step of the scan
+            return self._map_chunks(one_chunk, q_rep, qs_rep,
+                                    n_chunks, q_rep.shape[0], k)
 
         in_specs = ((P(axis, None), P(axis), P(), P()) if quantize
                     else (P(axis, None), P()))
@@ -217,8 +277,9 @@ class DescriptorIndex:
             # outputs are value-replicated after the all_gather + local
             # top_k, but the static VMA checker cannot prove it
             check_vma=False)
-        self._search_cache[k] = jax.jit(fn)
-        return self._search_cache[k](*db_args, *q_args)
+        self._search_cache[cache_key] = jax.jit(fn)
+        out = self._search_cache[cache_key](*db_args, *q_args)
+        return out[0][:n_q], out[1][:n_q]
 
 
 def save_index(index: DescriptorIndex, path: str,
