@@ -58,12 +58,14 @@ GEOPOSE_PRESETS = {
         optim=OptimConfig(lr=1e-4, backbone_lr_scale=0.1, schedule="plateau"),
         train=TrainConfig(epochs=100, early_stop_patience=40),
         loss="huber"),
-    # dinov2salad_finetuning.py: FROZEN DINOv2+SALAD descriptors -> MLP
-    # 8448->512->512->2 :28-32, MSE, 100 epochs
+    # dinov2salad_finetuning.py: FROZEN DINOv2+SALAD descriptors ->
+    # Linear(8448,512) -> ReLU -> Linear(512,2) :28-31 (ONE hidden layer,
+    # no dropout), MSE, 100 epochs
     "dinov2salad_frozen_mlp": GeoposeConfig(
         data=DataConfig(image_size=224, batch_size=32),
         model=ModelConfig(family="dinov2_salad", variant="base-14",
-                          head="mlp2", head_hidden=512, freeze_backbone=True),
+                          head="mlp", head_hidden=512, head_dropout=0.0,
+                          freeze_backbone=True),
         optim=OptimConfig(lr=1e-3, weight_decay=0.0, backbone_lr_scale=0.0),
         train=TrainConfig(epochs=100),
         loss="mse"),

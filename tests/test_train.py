@@ -484,7 +484,11 @@ class TestFrozenSaladRecipe:
         from geovpr.cli.presets import build_preset, objective_for
 
         cfg = build_preset("dinov2salad_frozen_mlp")
-        assert cfg.model.freeze_backbone and cfg.model.head == "mlp2"
+        # ONE hidden layer, no dropout (dinov2salad_finetuning.py:28-31 is
+        # Linear(8448,512) -> ReLU -> Linear(512,2); round-2's "mlp2" preset
+        # carried an extra 512->512 layer the reference does not have)
+        assert cfg.model.freeze_backbone and cfg.model.head == "mlp"
+        assert cfg.model.head_dropout == 0.0
         mcfg = dc.replace(cfg.model, variant="small-14", image_size=28)
         src = synthetic_geo_source(n=16, size=28)
         scaler = fit_scaler(jnp.array(src.targets))
