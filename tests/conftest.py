@@ -25,6 +25,12 @@ import pytest  # noqa: E402
 REFERENCE_ROOT = "/root/reference"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running (many-minute) checks, e.g. the "
+        "flagship-shape train-step compile")
+
+
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu"
     assert len(jax.devices()) == 8, "virtual 8-device CPU mesh not active"

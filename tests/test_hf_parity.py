@@ -85,6 +85,75 @@ class TestSwinHF:
                                    atol=3e-5, rtol=1e-4)
 
 
+class TestProductionDims:
+    """Random-init converter parity at the PRODUCTION architectures.
+
+    The tiny-config tests above are fast but blind to full-depth quirks —
+    e.g. Swin-B-384's window-12 relative-position bias tables (23x23=529
+    rows, a shape no tiny config reaches) and its (2,2,18,2) stage layout,
+    or DINOv2 base-14's 16x16 position grid. These run the real dims once
+    with random-init HF weights (no network needed) so a conversion bug
+    that only appears at production shape fails CI, not the real-weights
+    parity run (VERDICT r2 §missing-1)."""
+
+    def test_swin_base_384_full_depth(self, rng):
+        from transformers import SwinConfig, SwinModel
+
+        from geovpr.models.swin import SWIN_VARIANTS, SwinTransformer
+
+        v = SWIN_VARIANTS["base-384"]
+        cfg = SwinConfig(image_size=384, patch_size=4,
+                         embed_dim=v["embed_dim"], depths=list(v["depths"]),
+                         num_heads=list(v["num_heads"]),
+                         window_size=v["window_size"], drop_path_rate=0.0)
+        hf = SwinModel(cfg, add_pooling_layer=True).eval()
+        variables = C.convert_swin_hf(hf.state_dict(), depths=v["depths"])
+
+        x, xt = _images(rng, 1, 384)
+        with torch.no_grad():
+            res = hf(xt)
+            want = res.last_hidden_state.numpy()
+            want_pooled = res.pooler_output.numpy()
+
+        model = SwinTransformer(embed_dim=v["embed_dim"], depths=v["depths"],
+                                num_heads=v["num_heads"],
+                                window_size=v["window_size"],
+                                image_size=384, drop_path_rate=0.0)
+        out = model.apply(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out.tokens), want,
+                                   atol=5e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(out.pooled), want_pooled,
+                                   atol=5e-4, rtol=1e-3)
+
+    def test_dinov2_base_14_full_depth(self, rng):
+        from transformers import Dinov2Config, Dinov2Model
+
+        from geovpr.models.dinov2 import DINOV2_VARIANTS, DinoV2
+
+        v = DINOV2_VARIANTS["base-14"]
+        cfg = Dinov2Config(hidden_size=v["hidden_size"],
+                           num_hidden_layers=v["num_layers"],
+                           num_attention_heads=v["num_heads"],
+                           intermediate_size=4 * v["hidden_size"],
+                           image_size=224, patch_size=14,
+                           layerscale_value=1.0)
+        hf = Dinov2Model(cfg).eval()
+        variables = C.convert_dinov2_hf(hf.state_dict(),
+                                        num_layers=v["num_layers"])
+
+        x, xt = _images(rng, 1, 224)
+        with torch.no_grad():
+            want = hf(xt).last_hidden_state.numpy()
+
+        model = DinoV2(hidden_size=v["hidden_size"],
+                       num_layers=v["num_layers"], num_heads=v["num_heads"],
+                       patch_size=14, image_size=224)
+        out = model.apply(variables, jnp.asarray(x))
+        got = np.concatenate(
+            [np.asarray(out.cls)[:, None, :], np.asarray(out.tokens)], axis=1)
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
 class TestConvNextHF:
     def test_forward_parity(self, rng):
         from transformers import ConvNextConfig, ConvNextModel
