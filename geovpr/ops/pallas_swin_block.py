@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +59,14 @@ from jax.experimental.pallas import tpu as pltpu
 from geovpr.ops.pallas_window_attention import _SKIP_MAX
 
 _LOG2E = math.log2(math.e)
+# Lane-packed core matmuls (see _packed_attention_stages). Modes:
+# "train" (measured default) packs only the training kernels — the B=32
+# fine-tune step went 169.1 -> 140.9 ms same-session; "all" additionally
+# packs the serving forwards, which MEASURED SLOWER there (int8 eval B=64:
+# 59.6 -> 63.0 ms — no p-plane stores to amortize the block-diagonal
+# operand assembly, see docs/DESIGN.md); "0" disables packing everywhere.
+# The env knob exists for A/B measurement only.
+_PACKED_MODE = os.environ.get("GEOVPR_SWIN_PACKED", "train")
 # live f32 score+probability planes per program (stage-split keeps all
 # wb*H of them); budget steers the windows-per-program choice
 _PLANE_BUDGET = 8 * 1024 * 1024
@@ -81,6 +90,172 @@ def swin_block_kernel_ok(n: int, c: int, bw: int, num_heads: int) -> bool:
     lane-aligned channels, and a feasible windows-per-program choice."""
     return (n % 16 == 0 and c % 128 == 0
             and pick_windows_per_program(bw, n, num_heads) > 0)
+
+
+def _pack_group(num_heads: int, dh: int, train: bool = True) -> int:
+    """Head-group size for the lane-packed core: g = 128/dh heads ride one
+    matmul per core op (g*dh = one full 128-lane register/MXU tile). g=1
+    means packing doesn't apply (dh not a power-of-two divisor of 128, a
+    head count the group doesn't divide, or a serving kernel under the
+    default "train" mode — see _PACKED_MODE)."""
+    if _PACKED_MODE == "0" or (not train and _PACKED_MODE not in
+                               ("all", "1")) or 128 % dh != 0:
+        return 1
+    g = 128 // dh
+    return g if g > 1 and num_heads % g == 0 else 1
+
+
+def _band_mask(g: int, n: int, dh: int):
+    """(g*n, g*dh) block-diag selector: row band j keeps only head-j lanes.
+    Built from iotas in-kernel — no HBM input, Mosaic folds it to vselects."""
+    band = jax.lax.broadcasted_iota(jnp.int32, (g * n, g * dh), 0) // n
+    lane = jax.lax.broadcasted_iota(jnp.int32, (g * n, g * dh), 1) // dh
+    return band == lane
+
+
+def _block_diag(t, g: int, bmask):
+    """(n, g*dh) head-interleaved slab -> (g*n, g*dh) block-diagonal
+    operand: row band j = t with every lane outside head j zeroed. Cross-
+    head products against it are EXACT zeros, so a single 128-deep matmul
+    computes g heads' 32-deep contractions bit-identically (x+0 == x)."""
+    tiled = jnp.concatenate([t] * g, axis=0)
+    return jnp.where(bmask, tiled, jnp.zeros_like(tiled))
+
+
+def _per_band(x, n: int, g: int, reduce_fn):
+    """Per-head-band lane reduction of a packed (n, g*n) plane, broadcast
+    back to the packed layout."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(reduce_fn(x[:, j * n:(j + 1) * n]), (x.shape[0], n))
+         for j in range(g)], axis=1)
+
+
+def _packed_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
+                             *, num_heads: int, n: int, wb: int, nw: int,
+                             d: int, g: int, has_mask: bool,
+                             quantize_out: bool = False,
+                             skip_max: bool | None = None,
+                             p_ref=None):
+    """Lane-packed attention core: one matmul serves g = 128/dh heads.
+
+    Motivation (docs/DESIGN.md "attention-core wall"): at dh=32 each
+    per-(window, head) matmul fills a quarter of the MXU contraction depth
+    and an eighth of its tile pass; the measured core cost is ~12x its
+    FLOP ideal. Packing g heads into block-diagonal operands raises the
+    score matmul to full 128-deep contraction and cuts tile passes ~1.6x
+    — and, more importantly at stage-0 window counts, cuts the number of
+    issued MXU ops g-fold (8,192 -> 2,048 core ops per stage-0 block),
+    shrinking per-op scheduling overhead. Round-2's head-packing attempts
+    failed on operand assembly cost (a selector matmul as large as the
+    packed matmul); this assembly is g masked VPU copies of an (n, 128)
+    slab instead (`_block_diag`), ~1% of the matmul's cycles.
+
+    Layout contracts vs the unpacked path:
+    - q/k/v arrive head-adjacent in lanes, so the g-head operand slices
+      are natural 128-lane loads;
+    - `bias_ref` arrives LANE-PACKED (n, H*n): bias[q_row, h*n + k_col]
+      (the unpacked path uses (H*n, n) row-stacked);
+    - the shift mask still arrives (nW*n, n); it is lane-tiled g-fold
+      in-kernel (3 VPU copies of an (n, n) slab per window);
+    - p planes keep the existing lane-packed (rows, H*n) layout, stored
+      one (n, g*n) slab per group instead of g (n, n) slabs.
+
+    Numerics: the cross-head products are exact zeros and the nonzero
+    terms are the same set in the same K order, so under sequential (MXU)
+    accumulation the packed result matches the per-head result exactly;
+    under blocked/pairwise summation (interpret mode) the longer
+    contraction changes the reduction tree by ~1e-7 relative
+    (tests/test_pallas_ops.py pins the equivalence)."""
+    if skip_max is None:
+        skip_max = _SKIP_MAX
+    dh = d // num_heads
+    ng = num_heads // g
+    pid = pl.program_id(0)
+    bmask = _band_mask(g, n, dh)
+    ss = []
+    for w in range(wb):                     # stage 1: packed score matmuls
+        rows = slice(w * n, (w + 1) * n)
+        for gi in range(ng):
+            lanes = slice(gi * 128, (gi + 1) * 128)
+            k_blk = _block_diag(qkv[rows, d + gi * 128:d + (gi + 1) * 128],
+                                g, bmask)
+            ss.append(jax.lax.dot_general(
+                qkv[rows, lanes], k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+    ps = []
+    i = 0
+    for w in range(wb):                     # stage 2: softmaxes (VPU)
+        if has_mask:
+            off = ((pid * wb + w) % nw) * n
+            m_w = mask_ref[pl.ds(off, n), :]    # pre-scaled by log2(e)
+            m_t = jnp.concatenate([m_w] * g, axis=1)
+        for gi in range(ng):
+            s = ss[i] + bias_ref[:, gi * g * n:(gi + 1) * g * n]
+            if has_mask:
+                s = s + m_t
+            if skip_max:
+                p = jnp.exp2(jnp.minimum(s, 100.0))
+            else:
+                p = jnp.exp2(s - _per_band(
+                    s, n, g, lambda b: jnp.max(b, axis=-1, keepdims=True)))
+            if p_ref is not None:
+                z = _per_band(p, n, g,
+                              lambda b: jnp.sum(b, axis=-1, keepdims=True))
+                p = p * (1.0 / z)
+                ps.append((p, None))
+            else:
+                ps.append((p, [jnp.sum(p[:, j * n:(j + 1) * n], axis=-1,
+                                       keepdims=True) for j in range(g)]))
+            i += 1
+    i = 0
+    for w in range(wb):                     # stage 3: packed pv matmuls
+        rows = slice(w * n, (w + 1) * n)
+        for gi in range(ng):
+            lanes = slice(gi * 128, (gi + 1) * 128)
+            v_blk = _block_diag(
+                qkv[rows, 2 * d + gi * 128:2 * d + (gi + 1) * 128], g, bmask)
+            p, zs = ps[i]
+            if p_ref is not None:
+                p_ref[rows, gi * g * n:(gi + 1) * g * n] = (
+                    p.astype(p_ref.dtype))
+                o = jnp.dot(p.astype(v_blk.dtype), v_blk,
+                            preferred_element_type=jnp.float32)
+            else:
+                o = jnp.dot(p.astype(v_blk.dtype), v_blk,
+                            preferred_element_type=jnp.float32)
+                recip = jnp.concatenate(
+                    [jnp.broadcast_to(1.0 / zs[j], (n, dh))
+                     for j in range(g)], axis=1)
+                o = o * recip
+            if quantize_out:
+                o = jnp.clip(jnp.round(o), -127, 127)
+            ctx_ref[rows, lanes] = o.astype(ctx_ref.dtype)
+            i += 1
+
+
+def _core_stages(qkv, bias_ref, mask_ref, ctx_ref, *, num_heads, n, wb, nw,
+                 d, g, has_mask, quantize_out=False, skip_max=None,
+                 p_ref=None):
+    """Dispatch between the packed (g > 1) and per-head core."""
+    if g > 1:
+        return _packed_attention_stages(
+            qkv, bias_ref, mask_ref, ctx_ref, num_heads=num_heads, n=n,
+            wb=wb, nw=nw, d=d, g=g, has_mask=has_mask,
+            quantize_out=quantize_out, skip_max=skip_max, p_ref=p_ref)
+    return _swin_attention_stages(
+        qkv, bias_ref, mask_ref, ctx_ref, num_heads=num_heads, n=n, wb=wb,
+        nw=nw, d=d, has_mask=has_mask, quantize_out=quantize_out,
+        skip_max=skip_max, p_ref=p_ref)
+
+
+def _prep_bias(bias, num_heads: int, n: int, g: int):
+    """Kernel-layout relative-position bias, pre-scaled by log2(e):
+    lane-packed (n, H*n) for the packed core, row-stacked (H*n, n) for the
+    per-head core."""
+    bias_f = bias.astype(jnp.float32) * _LOG2E
+    if g > 1:
+        return bias_f.transpose(1, 0, 2).reshape(n, num_heads * n)
+    return bias_f.reshape(num_heads * n, n)
 
 
 def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
@@ -160,7 +335,7 @@ def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
 def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
             wo_ref, bo_ref, bias_ref, mask_ref, o_ref, ctx_ref,
             *, num_heads: int, n: int, wb: int, nw: int, scale: float,
-            ln_eps: float, has_mask: bool):
+            ln_eps: float, has_mask: bool, g: int = 1):
     m, d = x_ref.shape              # (wb*n, C)
 
     x_raw = x_ref[:]
@@ -178,9 +353,9 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
     qkv = ((qkv + bqkv_ref[:].astype(jnp.float32)) * srow).astype(x.dtype)
 
-    _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
-                           num_heads=num_heads, n=n, wb=wb, nw=nw, d=d,
-                           has_mask=has_mask)
+    _core_stages(qkv, bias_ref, mask_ref, ctx_ref,
+                 num_heads=num_heads, n=n, wb=wb, nw=nw, d=d, g=g,
+                 has_mask=has_mask)
 
     out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
     out = out + bo_ref[:].astype(jnp.float32) + xf
@@ -190,7 +365,8 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
 def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
                  bqkv_ref, wo_q_ref, so_ref, bo_ref, bias_ref, mask_ref,
                  o_ref, ctx_ref, *, num_heads: int, n: int, wb: int,
-                 nw: int, scale: float, ln_eps: float, has_mask: bool):
+                 nw: int, scale: float, ln_eps: float, has_mask: bool,
+                 g: int = 1):
     """w8a8 serving variant: the qkv and out projections run
     int8 x int8 -> int32 on the MXU; the attention core stays bf16. Static
     activation scales arrive PRE-FOLDED by the caller (same fold as
@@ -217,9 +393,9 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
     qkv = ((yi.astype(jnp.float32) * sqkv_ref[:]
             + bqkv_ref[:]) * srow).astype(jnp.bfloat16)
 
-    _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
-                           num_heads=num_heads, n=n, wb=wb, nw=nw, d=d,
-                           has_mask=has_mask, quantize_out=True)
+    _core_stages(qkv, bias_ref, mask_ref, ctx_ref,
+                 num_heads=num_heads, n=n, wb=wb, nw=nw, d=d, g=g,
+                 has_mask=has_mask, quantize_out=True)
 
     yo = jax.lax.dot(ctx_ref[:], wo_q_ref[:],
                      preferred_element_type=jnp.int32)
@@ -231,7 +407,7 @@ def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
                   wo_ref, bo_ref, bias_ref, mask_ref,
                   o_ref, qkv_out_ref, ctx_out_ref, p_out_ref,
                   *, num_heads: int, n: int, wb: int, nw: int, scale: float,
-                  ln_eps: float, has_mask: bool):
+                  ln_eps: float, has_mask: bool, g: int = 1):
     """Training-forward variant of `_kernel`: additionally materializes the
     qkv projections (post-bias, UNSCALED — the backward contract), the
     attention context, and the NORMALIZED probability planes (heads packed
@@ -261,9 +437,9 @@ def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
     qkv = (qkvf * srow).astype(x.dtype)
 
-    _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_out_ref,
-                           num_heads=num_heads, n=n, wb=wb, nw=nw, d=d,
-                           has_mask=has_mask, p_ref=p_out_ref)
+    _core_stages(qkv, bias_ref, mask_ref, ctx_out_ref,
+                 num_heads=num_heads, n=n, wb=wb, nw=nw, d=d, g=g,
+                 has_mask=has_mask, p_ref=p_out_ref)
 
     out = jnp.dot(ctx_out_ref[:], wo_ref[:],
                   preferred_element_type=jnp.float32)
@@ -281,8 +457,75 @@ def _bwd_head_chunk(n: int, num_heads: int) -> int:
     return 1
 
 
+def _packed_bwd_core(qkv, p_ref, da, dqkv_ref, dbias_ref,
+                     *, num_heads: int, n: int, wb: int, d: int, g: int,
+                     scale: float):
+    """Lane-packed attention-core backward: g = 128/dh heads per matmul
+    (see `_packed_attention_stages` for the packing rationale and layout
+    contracts). Per (window, head-group):
+
+      dp  = da_cat (n,128) x V_blk^T        one matmul vs g       (dP)
+      ds  = softmax-VJP on the packed plane (per-band lane sums)
+      dq  = ds_cat (n,g*n) x K_blk          one matmul vs g
+      dk  = diag-bands of ds_cat^T x q_cat  one matmul vs g
+      dv  = diag-bands of p_cat^T x da_cat  one matmul vs g
+
+    dk/dv use the full-product trick: contract over the ROW axis to get
+    all g^2 head pairs at once ((g*n, 128) output), then keep only the g
+    diagonal (n, dh) bands — no operand assembly at all, same tile-pass
+    count as the assembled form. `dbias_ref` is LANE-PACKED (n, H*n);
+    `da` may be a VMEM ref or an in-register array (both slice the same).
+    4 live f32 packed planes per group = the same ~1.3 MB budget the
+    unpacked path's head chunking targeted."""
+    dh = d // num_heads
+    ng = num_heads // g
+    bmask = _band_mask(g, n, dh)
+    for w in range(wb):
+        rows = slice(w * n, (w + 1) * n)
+        for gi in range(ng):
+            lanes = slice(gi * 128, (gi + 1) * 128)
+            pcols = slice(gi * g * n, (gi + 1) * g * n)
+            p_cat = p_ref[rows, pcols]
+            da_cat = da[rows, lanes]
+            v_blk = _block_diag(
+                qkv[rows, 2 * d + gi * 128:2 * d + (gi + 1) * 128], g, bmask)
+            dp = jax.lax.dot_general(
+                da_cat, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            pf = p_cat.astype(jnp.float32)
+            sub = _per_band(dp * pf, n, g,
+                            lambda b: jnp.sum(b, axis=-1, keepdims=True))
+            ds = pf * (dp - sub)
+            dbias_ref[:, pcols] += ds
+            ds_b = (ds * scale).astype(qkv.dtype)
+            k_blk = _block_diag(
+                qkv[rows, d + gi * 128:d + (gi + 1) * 128], g, bmask)
+            dq = jax.lax.dot_general(
+                ds_b, k_blk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqkv_ref[rows, lanes] = dq.astype(dqkv_ref.dtype)
+            q_cat = qkv[rows, lanes]
+            r_k = jax.lax.dot_general(
+                ds_b, q_cat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            r_v = jax.lax.dot_general(
+                p_cat, da_cat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_cat = jnp.concatenate(
+                [r_k[j * n:(j + 1) * n, j * dh:(j + 1) * dh]
+                 for j in range(g)], axis=1)
+            dv_cat = jnp.concatenate(
+                [r_v[j * n:(j + 1) * n, j * dh:(j + 1) * dh]
+                 for j in range(g)], axis=1)
+            dqkv_ref[rows, d + gi * 128:d + (gi + 1) * 128] = (
+                dk_cat.astype(dqkv_ref.dtype))
+            dqkv_ref[rows, 2 * d + gi * 128:2 * d + (gi + 1) * 128] = (
+                dv_cat.astype(dqkv_ref.dtype))
+
+
 def _train_bwd_kernel(qkv_ref, p_ref, da_ref, dqkv_ref, dbias_ref,
-                      *, num_heads: int, n: int, wb: int, scale: float):
+                      *, num_heads: int, n: int, wb: int, scale: float,
+                      g: int = 1):
     """Attention-core backward: given saved qkv, the forward's NORMALIZED
     probability planes p (heads packed in lanes), and da = dL/d(ctx), emit
     dqkv and the relative-position-bias gradient. No score or softmax
@@ -303,6 +546,11 @@ def _train_bwd_kernel(qkv_ref, p_ref, da_ref, dqkv_ref, dbias_ref,
         dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     qkv = qkv_ref[:]
+    if g > 1:
+        _packed_bwd_core(qkv, p_ref, da_ref, dqkv_ref, dbias_ref,
+                         num_heads=num_heads, n=n, wb=wb, d=d, g=g,
+                         scale=scale)
+        return
     ch = _bwd_head_chunk(n, num_heads)
     for w in range(wb):
         rows = slice(w * n, (w + 1) * n)
@@ -359,7 +607,7 @@ def _train_bwd_all_kernel(xw_ref, qkv_ref, p_ref, ctx_ref, g_ref,
                           dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
                           dbias_ref, dls_ref, dlb_ref, dqkv_ref,
                           *, num_heads: int, n: int, wb: int, scale: float,
-                          ln_eps: float):
+                          ln_eps: float, pg: int = 1):
     """The ENTIRE attention-half backward in one kernel.
 
     Motivation (docs/DESIGN.md, round-2 Swin training profile): the
@@ -403,47 +651,53 @@ def _train_bwd_all_kernel(xw_ref, qkv_ref, p_ref, ctx_ref, g_ref,
         preferred_element_type=jnp.float32)
     dbo_ref[:] += jnp.sum(gf, axis=0, keepdims=True)
 
-    # attention core: dqkv into the VMEM scratch (the stage-split
-    # head-chunk loop of `_train_bwd_kernel`, da sliced from the local
-    # matmul above instead of an HBM input)
+    # attention core: dqkv into the VMEM scratch (packed when pg > 1; else
+    # the stage-split head-chunk loop of `_train_bwd_kernel`), da sliced
+    # from the local matmul above instead of an HBM input
     qkv = qkv_ref[:]
-    ch = _bwd_head_chunk(n, num_heads)
-    for w in range(wb):
-        rows = slice(w * n, (w + 1) * n)
-        for h0 in range(0, num_heads, ch):
-            heads = range(h0, h0 + ch)
-            pss = [p_ref[rows, h * n:(h + 1) * n] for h in heads]
-            dps = []
-            for i, h in enumerate(heads):   # stage 1: dP matmuls
-                v = qkv[rows, 2 * d + h * dh_:2 * d + (h + 1) * dh_]
-                da_h = da[rows, h * dh_:(h + 1) * dh_]
-                dps.append(jax.lax.dot_general(
-                    da_h, v, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-            dss = []
-            for i, h in enumerate(heads):   # stage 2: softmax bwd (VPU)
-                p = pss[i].astype(jnp.float32)
-                ds = p * (dps[i] - jnp.sum(dps[i] * p, axis=-1,
-                                           keepdims=True))
-                dbias_ref[h * n:(h + 1) * n, :] += ds
-                dss.append((ds * scale).astype(qkv.dtype))
-            for i, h in enumerate(heads):   # stage 3: gradient matmuls
-                q = qkv[rows, h * dh_:(h + 1) * dh_]
-                k = qkv[rows, d + h * dh_:d + (h + 1) * dh_]
-                da_h = da[rows, h * dh_:(h + 1) * dh_]
-                dv = jax.lax.dot_general(
-                    pss[i], da_h, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dq = jnp.dot(dss[i], k, preferred_element_type=jnp.float32)
-                dk = jax.lax.dot_general(
-                    dss[i], q, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dqkv_ref[rows, h * dh_:(h + 1) * dh_] = (
-                    dq.astype(dqkv_ref.dtype))
-                dqkv_ref[rows, d + h * dh_:d + (h + 1) * dh_] = (
-                    dk.astype(dqkv_ref.dtype))
-                dqkv_ref[rows, 2 * d + h * dh_:2 * d + (h + 1) * dh_] = (
-                    dv.astype(dqkv_ref.dtype))
+    if pg > 1:
+        _packed_bwd_core(qkv, p_ref, da, dqkv_ref, dbias_ref,
+                         num_heads=num_heads, n=n, wb=wb, d=d, g=pg,
+                         scale=scale)
+    else:
+        ch = _bwd_head_chunk(n, num_heads)
+        for w in range(wb):
+            rows = slice(w * n, (w + 1) * n)
+            for h0 in range(0, num_heads, ch):
+                heads = range(h0, h0 + ch)
+                pss = [p_ref[rows, h * n:(h + 1) * n] for h in heads]
+                dps = []
+                for i, h in enumerate(heads):   # stage 1: dP matmuls
+                    v = qkv[rows, 2 * d + h * dh_:2 * d + (h + 1) * dh_]
+                    da_h = da[rows, h * dh_:(h + 1) * dh_]
+                    dps.append(jax.lax.dot_general(
+                        da_h, v, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))
+                dss = []
+                for i, h in enumerate(heads):   # stage 2: softmax bwd (VPU)
+                    p = pss[i].astype(jnp.float32)
+                    ds = p * (dps[i] - jnp.sum(dps[i] * p, axis=-1,
+                                               keepdims=True))
+                    dbias_ref[h * n:(h + 1) * n, :] += ds
+                    dss.append((ds * scale).astype(qkv.dtype))
+                for i, h in enumerate(heads):   # stage 3: gradient matmuls
+                    q = qkv[rows, h * dh_:(h + 1) * dh_]
+                    k = qkv[rows, d + h * dh_:d + (h + 1) * dh_]
+                    da_h = da[rows, h * dh_:(h + 1) * dh_]
+                    dv = jax.lax.dot_general(
+                        pss[i], da_h, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dq = jnp.dot(dss[i], k,
+                                 preferred_element_type=jnp.float32)
+                    dk = jax.lax.dot_general(
+                        dss[i], q, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dqkv_ref[rows, h * dh_:(h + 1) * dh_] = (
+                        dq.astype(dqkv_ref.dtype))
+                    dqkv_ref[rows, d + h * dh_:d + (h + 1) * dh_] = (
+                        dk.astype(dqkv_ref.dtype))
+                    dqkv_ref[rows, 2 * d + h * dh_:2 * d + (h + 1) * dh_] = (
+                        dv.astype(dqkv_ref.dtype))
 
     # LN recompute (f32) + qkv-projection weight grads + LN VJP -> dx
     x_raw = xw_ref[:]
@@ -488,14 +742,17 @@ def _swin_attn_bwd_all_pallas(xw, qkv, p, ctx, g, wqkv, wo, ln_scale,
     wb = pick_windows_per_program(bw, n, num_heads)
     assert wb > 0, "all-in-one bwd dispatched for ineligible shapes"
 
+    pg = _pack_group(num_heads, dh_)
     kernel = functools.partial(_train_bwd_all_kernel, num_heads=num_heads,
-                               n=n, wb=wb, scale=scale, ln_eps=ln_eps)
+                               n=n, wb=wb, scale=scale, ln_eps=ln_eps,
+                               pg=pg)
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM)
     acc_spec = lambda r, cc: pl.BlockSpec((r, cc), whole,
                                           memory_space=pltpu.VMEM)
+    dbias_shape = ((n, num_heads * n) if pg > 1 else (num_heads * n, n))
     outs = pl.pallas_call(
         kernel,
         out_shape=(
@@ -504,7 +761,7 @@ def _swin_attn_bwd_all_pallas(xw, qkv, p, ctx, g, wqkv, wo, ln_scale,
             jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),      # dbqkv
             jax.ShapeDtypeStruct((c, c), jnp.float32),          # dwo
             jax.ShapeDtypeStruct((1, c), jnp.float32),          # dbo
-            jax.ShapeDtypeStruct((num_heads * n, n), jnp.float32),  # dbias
+            jax.ShapeDtypeStruct(dbias_shape, jnp.float32),     # dbias
             jax.ShapeDtypeStruct((1, c), jnp.float32),          # dls
             jax.ShapeDtypeStruct((1, c), jnp.float32),          # dlb
         ),
@@ -522,7 +779,7 @@ def _swin_attn_bwd_all_pallas(xw, qkv, p, ctx, g, wqkv, wo, ln_scale,
         ],
         out_specs=(row_spec(c), acc_spec(c, 3 * c), acc_spec(1, 3 * c),
                    acc_spec(c, c), acc_spec(1, c),
-                   acc_spec(num_heads * n, n), acc_spec(1, c),
+                   acc_spec(*dbias_shape), acc_spec(1, c),
                    acc_spec(1, c)),
         scratch_shapes=[pltpu.VMEM((wb * n, 3 * c), qkv.dtype)],
         compiler_params=pltpu.CompilerParams(
@@ -536,9 +793,12 @@ def _swin_attn_bwd_all_pallas(xw, qkv, p, ctx, g, wqkv, wo, ln_scale,
             transcendentals=0),
     )(xw.reshape(m, c), qkv, p, ctx, g, wqkv, wo, ln_scale, ln_bias)
     dx, dwqkv, dbqkv, dwo, dbo, dbias, dls, dlb = outs
+    if pg > 1:      # lane-packed (n, H*n) -> (H, n, n)
+        dbias = dbias.reshape(n, num_heads, n).transpose(1, 0, 2)
+    else:
+        dbias = dbias.reshape(num_heads, n, n)
     return (dx, dwqkv, dbqkv.reshape(3 * c), dwo, dbo.reshape(c),
-            dbias.reshape(num_heads, n, n), dls.reshape(c),
-            dlb.reshape(c))
+            dbias, dls.reshape(c), dlb.reshape(c))
 
 
 def _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
@@ -596,8 +856,9 @@ def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
                                     wo, bo, mask=mask, bias=bias,
                                     num_heads=num_heads, ln_eps=ln_eps)
 
+    g = _pack_group(num_heads, dh, train=False)
     xf = xw.reshape(bw * n, c)
-    bias_f = (bias.astype(jnp.float32) * _LOG2E).reshape(num_heads * n, n)
+    bias_f = _prep_bias(bias, num_heads, n, g)
     has_mask = mask is not None
     if has_mask:
         nw = mask.shape[0]
@@ -608,7 +869,7 @@ def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
 
     kernel = functools.partial(_kernel, num_heads=num_heads, n=n, wb=wb,
                                nw=nw, scale=scale, ln_eps=ln_eps,
-                               has_mask=has_mask)
+                               has_mask=has_mask, g=g)
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -624,8 +885,7 @@ def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
             pl.BlockSpec((3 * c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads * n, n), whole,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_f.shape, whole, memory_space=pltpu.VMEM),
             # mask resident across the grid (constant index map); windows
             # slice their rows in-kernel
             pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
@@ -697,8 +957,9 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
     if wb == 0 or n % 16 != 0 or c % 128 != 0:
         return None
 
+    g = _pack_group(num_heads, dh, train=False)
     xf = xw.reshape(bw * n, c)
-    bias_f = (bias.astype(jnp.float32) * _LOG2E).reshape(num_heads * n, n)
+    bias_f = _prep_bias(bias, num_heads, n, g)
     has_mask = mask is not None
     if has_mask:
         nw = mask.shape[0]
@@ -709,7 +970,7 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
 
     kernel = functools.partial(_kernel_int8, num_heads=num_heads, n=n,
                                wb=wb, nw=nw, scale=scale, ln_eps=ln_eps,
-                               has_mask=has_mask)
+                               has_mask=has_mask, g=g)
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -727,8 +988,7 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
             pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads * n, n), whole,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_f.shape, whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
                          memory_space=pltpu.VMEM),
         ],
@@ -757,8 +1017,9 @@ def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
     dh = c // num_heads
     scale = dh ** -0.5
     wb = pick_windows_per_program(bw, n, num_heads)
+    g = _pack_group(num_heads, dh)
     xf = xw.reshape(bw * n, c)
-    bias_f = (bias.astype(jnp.float32) * _LOG2E).reshape(num_heads * n, n)
+    bias_f = _prep_bias(bias, num_heads, n, g)
     has_mask = mask is not None
     if has_mask:
         nw = mask.shape[0]
@@ -769,7 +1030,7 @@ def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
 
     kernel = functools.partial(_train_kernel, num_heads=num_heads, n=n,
                                wb=wb, nw=nw, scale=scale, ln_eps=ln_eps,
-                               has_mask=has_mask)
+                               has_mask=has_mask, g=g)
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
@@ -791,8 +1052,7 @@ def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
             pl.BlockSpec((3 * c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_heads * n, n), whole,
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias_f.shape, whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
                          memory_space=pltpu.VMEM),
         ],
@@ -821,16 +1081,18 @@ def _swin_attn_bwd_pallas(qkv, p, da, num_heads: int, n: int):
     wb = pick_windows_per_program(bw, n, num_heads)
     assert wb > 0, "bwd dispatched for shapes the fwd gate rejected"
 
+    g = _pack_group(num_heads, dh)
     kernel = functools.partial(_train_bwd_kernel, num_heads=num_heads, n=n,
-                               wb=wb, scale=scale)
+                               wb=wb, scale=scale, g=g)
     whole = lambda i: (0, 0)
     row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM)
+    dbias_shape = ((n, num_heads * n) if g > 1 else (num_heads * n, n))
     dqkv, dbias = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((m, 3 * c), qkv.dtype),
-            jax.ShapeDtypeStruct((num_heads * n, n), jnp.float32),
+            jax.ShapeDtypeStruct(dbias_shape, jnp.float32),
         ),
         grid=(bw // wb,),
         in_specs=[
@@ -841,7 +1103,7 @@ def _swin_attn_bwd_pallas(qkv, p, da, num_heads: int, n: int):
         # dbias accumulates across the grid into ONE block -> the grid dim
         # must be sequential ("arbitrary"), not "parallel"
         out_specs=(row_spec(3 * c),
-                   pl.BlockSpec((num_heads * n, n), whole,
+                   pl.BlockSpec(dbias_shape, whole,
                                 memory_space=pltpu.VMEM)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -852,6 +1114,8 @@ def _swin_attn_bwd_pallas(qkv, p, da, num_heads: int, n: int):
                            * qkv.dtype.itemsize,
             transcendentals=0),
     )(qkv, p, da)
+    if g > 1:       # lane-packed (n, H*n) -> (H, n, n)
+        return dqkv, dbias.reshape(n, num_heads, n).transpose(1, 0, 2)
     return dqkv, dbias.reshape(num_heads, n, n)
 
 

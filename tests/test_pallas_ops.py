@@ -445,9 +445,14 @@ class TestFusedSwinAttnBlock:
         (8, 16, 128, 2, 1, False),   # no-mask (shift=0) variant
         (16, 16, 128, 4, 16, True),  # wb < nW -> dynamic mask slicing
         (4, 16, 128, 2, 4, True),    # wb == bw (single program)
+        (8, 16, 256, 8, 4, True),    # H=8, dh=32 -> g=4, TWO head groups
+                                     # (gi>0 unaligned lane slices)
     ])
     def test_matches_xla(self, monkeypatch, case):
         m = self._patch(monkeypatch)
+        # mode "all" packs the serving forward too (default "train" leaves
+        # it per-head) so the dh=32 case exercises the packed eval kernel
+        monkeypatch.setattr(m, "_PACKED_MODE", "all")
         bw, n, c, h, nw, with_mask = case
         args = self._mk(bw, n, c, h, nw, with_mask)
         got = m.fused_swin_attn_block(*args, h, 1e-5)
@@ -455,6 +460,53 @@ class TestFusedSwinAttnBlock:
         assert m.pick_windows_per_program(bw, n, h) > 0
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=3e-5, atol=3e-5)
+
+    def test_packed_core_matches_unpacked(self, monkeypatch):
+        """The lane-packed core (g = 128/dh heads per matmul,
+        block-diagonal masked operands) must agree with the per-head core
+        to f32 accumulation-order roundoff: cross-head products are exact
+        zeros, but a longer contraction changes the reduction tree under
+        XLA's blocked summation (~1e-7 relative). Exercised at the
+        production head geometry (dh=32 -> g=4) with TWO head groups,
+        fwd AND grads."""
+        m = self._patch(monkeypatch)
+        args = self._mk(8, 16, 256, 8, 4, True)
+        mask = args[-1]
+
+        def run(packed):
+            monkeypatch.setattr(m, "_PACKED_MODE", "all" if packed else "0")
+
+            def loss(*a):
+                return jnp.sum(m.fused_swin_attn_train(*a, mask, 8,
+                                                       1e-5) ** 2)
+
+            out = m.fused_swin_attn_train(*args, 8, 1e-5)
+            grads = jax.grad(loss, argnums=tuple(range(8)))(*args[:-1])
+            return out, grads
+
+        out_u, g_u = run(False)
+        out_p, g_p = run(True)
+        assert m._pack_group(8, 32) == 4
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                                   rtol=2e-5, atol=2e-5)
+        # grads of sum(out^2) reach |g|~60 here; accumulation-order
+        # roundoff lands at ~4e-4 absolute on near-zero elements
+        for a, b in zip(g_p, g_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-3)
+
+    def test_pack_group_gating(self):
+        import geovpr.ops.pallas_swin_block as m
+
+        assert m._pack_group(4, 32) == 4     # Swin-B stage 0
+        assert m._pack_group(32, 32) == 4    # Swin-B stage 3
+        assert m._pack_group(2, 64) == 2     # dh=64 -> pairs
+        assert m._pack_group(2, 128) == 1    # dh=128: already full lanes
+        assert m._pack_group(3, 32) == 1     # heads not divisible by g
+        assert m._pack_group(4, 48) == 1     # dh does not divide 128
+        # default mode "train": serving kernels stay per-head (the packed
+        # serving forward measured slower on-chip, docs/DESIGN.md)
+        assert m._pack_group(4, 32, train=False) == 1
 
     def test_ineligible_shapes_fall_back(self, monkeypatch):
         """window-7 (N=49) and C=96 shapes must silently take the XLA
