@@ -27,12 +27,23 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from geovpr.models.backbone import BackboneOutput
 from geovpr.models.layers import DropPath, Mlp
+from geovpr.ops.quant import INT8_QK_SCORES
+
+_MHSA_LOG2E = 1.4426950408889634  # log2(e): kernel softmax is exp2-domain
+# resident padding on the bf16 deterministic serving path: measured
+# SLOWER (86.6 -> 90.5 ms at B=256 same-session, docs/DESIGN.md) — unlike
+# the int8 stack, the bf16 LN/MLP halves run in XLA, which handles the
+# ragged 257-row matmuls better than explicit 272-row ones. Default off;
+# the env knob exists for A/B re-measurement only.
+_BF16_RESIDENT = os.environ.get("GEOVPR_BF16_RESIDENT", "0") == "1"
 
 DINOV2_VARIANTS = {
     "small-14": dict(hidden_size=384, num_layers=12, num_heads=6),
@@ -119,6 +130,8 @@ class DinoV2Block(nn.Module):
                 for name, init, shape, dt in (
                     ("attn_a_x", jnp.ones, (), jnp.float32),
                     ("attn_a_ctx", jnp.ones, (), jnp.float32),
+                    ("attn_a_q", jnp.ones, (), jnp.float32),
+                    ("attn_a_k", jnp.ones, (), jnp.float32),
                     ("attn_wqkv_q", jnp.zeros, (d, 3 * d), jnp.int8),
                     ("attn_wqkv_scale", jnp.ones, (3 * d,), jnp.float32),
                     ("attn_wo_q", jnp.zeros, (d, d), jnp.int8),
@@ -154,7 +167,8 @@ class DinoV2Block(nn.Module):
             x = fused_mhsa_block(
                 x.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
                 attn["proj"][0].astype(self.dtype), attn["proj"][1],
-                gamma1, num_heads=self.num_heads, ln_eps=LN_EPS)
+                gamma1, num_heads=self.num_heads, ln_eps=LN_EPS,
+                n_valid=self.serve_n_valid or None)
         else:
             h = _layer_norm(x, n1_scale, n1_bias)
             if self.calibrate:
@@ -188,7 +202,12 @@ class DinoV2Block(nn.Module):
         geovpr/ops/quant.py for the scheme, _mhsa_kernel_v3_int8 for the
         fold) into the shared argument tuple consumed by
         `fused_mhsa_block_int8` and the XLA
-        fallback in `_attention_int8`."""
+        fallback in `_attention_int8`.
+
+        With INT8_QK_SCORES the q/k thirds additionally fold 1/a_q and
+        1/a_k so they come out of the qkv dequant in int8 units, and the
+        tuple carries the score-dequant constant cs = a_q·a_k·dh^-0.5
+        (natural-log domain; kernel callers multiply by log2(e))."""
         d = self.dim
         a_x = qa["attn_a_x"].value
         a_ctx = qa["attn_a_ctx"].value
@@ -197,17 +216,30 @@ class DinoV2Block(nn.Module):
         ).astype(jnp.float32)
         # fold 1/a_ctx into the v third of the dequant scale and bias: the
         # attention context (a convex combination of v rows) then lands
-        # directly in quantized units
-        vmask = jnp.where(jnp.arange(3 * d) < 2 * d, 1.0, 1.0 / a_ctx)
+        # directly in quantized units (and 1/a_q, 1/a_k into the q/k
+        # thirds under INT8_QK_SCORES)
+        col3 = jnp.arange(3 * d)
+        if INT8_QK_SCORES:
+            a_q = qa["attn_a_q"].value
+            a_k = qa["attn_a_k"].value
+            thirds = jnp.where(col3 < d, 1.0 / a_q,
+                               jnp.where(col3 < 2 * d, 1.0 / a_k,
+                                         1.0 / a_ctx))
+            dh = d // self.num_heads
+            cs = a_q * a_k * dh ** -0.5
+        else:
+            thirds = jnp.where(col3 < 2 * d, 1.0, 1.0 / a_ctx)
+            cs = None
         return (n1_scale.astype(jnp.float32) / a_x,
                 n1_bias.astype(jnp.float32) / a_x,
                 qa["attn_wqkv_q"].value,
-                a_x * qa["attn_wqkv_scale"].value * vmask,
-                bqkv * vmask,
+                a_x * qa["attn_wqkv_scale"].value * thirds,
+                bqkv * thirds,
                 qa["attn_wo_q"].value,
                 a_ctx * qa["attn_wo_scale"].value,
                 attn["proj"][1].astype(jnp.float32),
-                gamma1.astype(jnp.float32))
+                gamma1.astype(jnp.float32),
+                cs)
 
     def _attention_int8(self, x, attn_args):
         """w8a8 attention projections from pre-folded static scales
@@ -216,7 +248,7 @@ class DinoV2Block(nn.Module):
         CPU/odd shapes."""
         d = self.dim
         (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
-         bo, gamma) = attn_args
+         bo, gamma, cs) = attn_args
 
         if self.use_pallas and jax.default_backend() == "tpu":
             from geovpr.ops.pallas_mhsa import fused_mhsa_block_int8
@@ -224,7 +256,8 @@ class DinoV2Block(nn.Module):
                 x.astype(jnp.bfloat16), ln_scale_q, ln_bias_q, wqkv_q,
                 sqkv_eff, bqkv_eff, wo_q, so_eff, bo, gamma,
                 num_heads=self.num_heads, ln_eps=LN_EPS,
-                n_valid=self.serve_n_valid or None)
+                n_valid=self.serve_n_valid or None,
+                cs=None if cs is None else cs * _MHSA_LOG2E)
             if out is not None:
                 return out.astype(x.dtype)
         if self.serve_n_valid:
@@ -247,15 +280,27 @@ class DinoV2Block(nn.Module):
         yi = jax.lax.dot_general(
             xq.reshape(-1, d), wqkv_q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        qkv = (yi.astype(jnp.float32) * sqkv_eff + bqkv_eff
-               ).astype(jnp.bfloat16).reshape(b, n, 3 * d)
+        qkv_f = (yi.astype(jnp.float32) * sqkv_eff
+                 + bqkv_eff).reshape(b, n, 3 * d)
 
         def heads(t):
             return t.reshape(b, n, self.num_heads, dh).transpose(0, 2, 1, 3)
 
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k),
-                       preferred_element_type=jnp.float32) * dh ** -0.5
+        if cs is not None:
+            # int8 score matmuls, same arithmetic as the kernel's qk8 path
+            q8 = jnp.clip(jnp.round(qkv_f[..., :d]), -127,
+                          127).astype(jnp.int8)
+            k8 = jnp.clip(jnp.round(qkv_f[..., d:2 * d]), -127,
+                          127).astype(jnp.int8)
+            v = qkv_f[..., 2 * d:].astype(jnp.bfloat16)
+            s = jnp.einsum("bhnd,bhmd->bhnm", heads(q8), heads(k8),
+                           preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * cs
+        else:
+            qkv = qkv_f.astype(jnp.bfloat16)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k),
+                           preferred_element_type=jnp.float32) * dh ** -0.5
         p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
         ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v),
                          preferred_element_type=jnp.float32)
@@ -288,6 +333,14 @@ class DinoV2Block(nn.Module):
         q = heads(proj(x, attn["query"]))
         k = heads(proj(x, attn["key"]))
         v = heads(proj(x, attn["value"]))
+        if self.calibrate:
+            # int8-score calibration: static amax of the post-projection
+            # q/k activations (pre head-scale — the scale rides the
+            # dequant constant, _attn_int8_fold)
+            self.sow("quant_calib", "attn_q",
+                     jnp.max(jnp.abs(q.astype(jnp.float32))))
+            self.sow("quant_calib", "attn_k",
+                     jnp.max(jnp.abs(k.astype(jnp.float32))))
         scores = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores * (head_dim ** -0.5)
@@ -353,19 +406,28 @@ class DinoV2(nn.Module):
                             axis=1)
         x = x + pos.astype(self.dtype)
 
-        # resident padding for the int8 serving stack: pad the stream to the
+        # resident padding for the serving stack: pad the stream to the
         # sublane quantum ONCE (zeros), run every block at the padded row
-        # count (both int8 kernels take n_valid / are row-local), slice once
-        # at the end — the per-layer pad/slice copies measured ~3.3 ms of
-        # the B=256 batch. Gated on the same conditions as the attention
-        # fast path so the kernel can never fall back to XLA mid-stack.
+        # count (the attention kernels take n_valid; everything else is
+        # row-local), slice once at the end — the per-layer pad/slice
+        # copies measured ~3.3 ms of the B=256 batch. Gated on the same
+        # conditions as the attention fast path so the kernel can never
+        # fall back to XLA mid-stack. int8 serving always qualifies
+        # (stop_gradient path); the bf16 path is differentiable, so
+        # resident mode (which routes through the no-VJP serving forward)
+        # only engages on deterministic eval.
         n = x.shape[1]
         serve_n_valid = 0
-        if (self.int8_attn and self.int8_mlp and not self.calibrate
-                and not self.is_initializing()
-                and self.use_pallas and jax.default_backend() == "tpu"
-                and self.dtype == jnp.bfloat16
-                and n > 128 and (n - 1) % 128 == 0 and n % 16 != 0):
+        kernels_on = (not self.calibrate and not self.is_initializing()
+                      and self.use_pallas
+                      and jax.default_backend() == "tpu"
+                      and self.dtype == jnp.bfloat16
+                      and n > 128 and (n - 1) % 128 == 0 and n % 16 != 0)
+        int8_resident = kernels_on and self.int8_attn and self.int8_mlp
+        bf16_resident = (kernels_on and deterministic
+                         and not self.int8_attn and not self.int8_mlp
+                         and _BF16_RESIDENT)
+        if int8_resident or bf16_resident:
             from geovpr.ops.pallas_mhsa import _v3_fast_path
             np_ = -(-n // 16) * 16
             bb = 2 if x.shape[0] % 2 == 0 else 1

@@ -36,6 +36,9 @@ from geovpr.models.backbone import BackboneOutput
 from geovpr.models.dinov2 import PDense, PScaleBias, _layer_norm
 from geovpr.models.layers import DropPath, Mlp
 from geovpr.ops import window_attention
+from geovpr.ops.quant import INT8_QK_SCORES
+
+_SWIN_LOG2E = 1.4426950408889634  # log2(e): kernel softmax is exp2-domain
 
 SWIN_VARIANTS = {
     "tiny-224": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
@@ -185,12 +188,14 @@ class SwinAttnParams(nn.Module):
 
 
 def _window_attn_apply(xw, attn, bias, mask, num_heads: int,
-                       use_pallas: bool, dtype, sow_ctx=None) -> jax.Array:
+                       use_pallas: bool, dtype, sow_ctx=None,
+                       sow_qk=None) -> jax.Array:
     """Unfused window attention from the shared params: q/k/v/out
     projections as plain dots around the `window_attention` op (which
-    itself picks the Pallas window kernel or XLA einsum). `sow_ctx` is the
-    calibration hook: called with the pre-proj attention context so the
-    int8 path can derive its static a_ctx scale."""
+    itself picks the Pallas window kernel or XLA einsum). `sow_ctx` /
+    `sow_qk` are the calibration hooks: called with the pre-proj attention
+    context and the post-projection q/k so the int8 path can derive its
+    static a_ctx / a_q / a_k scales."""
     bw, n, c = xw.shape
     dh = c // num_heads
 
@@ -206,6 +211,8 @@ def _window_attn_apply(xw, attn, bias, mask, num_heads: int,
     q = heads(proj(xw, attn["query"]))
     k = heads(proj(xw, attn["key"]))
     v = heads(proj(xw, attn["value"]))
+    if sow_qk is not None:
+        sow_qk(q, k)
     out = window_attention(q, k, v, bias, mask, use_pallas=use_pallas)
     out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
     if sow_ctx is not None:
@@ -318,6 +325,8 @@ class SwinBlock(nn.Module):
                 for name, init, shape, dt in (
                     ("attn_a_x", jnp.ones, (), jnp.float32),
                     ("attn_a_ctx", jnp.ones, (), jnp.float32),
+                    ("attn_a_q", jnp.ones, (), jnp.float32),
+                    ("attn_a_k", jnp.ones, (), jnp.float32),
                     ("attn_wqkv_q", jnp.zeros, (d, 3 * d), jnp.int8),
                     ("attn_wqkv_scale", jnp.ones, (3 * d,), jnp.float32),
                     ("attn_wo_q", jnp.zeros, (d, d), jnp.int8),
@@ -381,14 +390,22 @@ class SwinBlock(nn.Module):
                 self.sow("quant_calib", "attn_x",
                          jnp.max(jnp.abs(x.astype(jnp.float32))))
             xw = to_windows(x)
-            sow_ctx = None
+            sow_ctx = sow_qk = None
             if self.calibrate:
                 sow_ctx = lambda t: self.sow(
                     "quant_calib", "attn_ctx",
                     jnp.max(jnp.abs(t.astype(jnp.float32))))
+
+                def sow_qk(q, k):
+                    # int8-score calibration: post-projection q/k amax
+                    # (pre head-scale — it rides the dequant constant)
+                    self.sow("quant_calib", "attn_q",
+                             jnp.max(jnp.abs(q.astype(jnp.float32))))
+                    self.sow("quant_calib", "attn_k",
+                             jnp.max(jnp.abs(k.astype(jnp.float32))))
             xw = _window_attn_apply(xw, attn, bias, mask, self.num_heads,
                                     use_pallas=pallas_ok, dtype=self.dtype,
-                                    sow_ctx=sow_ctx)
+                                    sow_ctx=sow_ctx, sow_qk=sow_qk)
             x = residual_drop(from_windows(xw))
 
         return self._mlp_half(x, deterministic)
@@ -406,16 +423,30 @@ class SwinBlock(nn.Module):
         ).astype(jnp.float32)
         # fold 1/a_ctx into the v third of the dequant scale and bias: the
         # attention context (a convex combination of v rows) then lands
-        # directly in quantized units
-        vmask = jnp.where(jnp.arange(3 * d) < 2 * d, 1.0, 1.0 / a_ctx)
+        # directly in quantized units (and 1/a_q, 1/a_k into the q/k
+        # thirds under INT8_QK_SCORES; the head scale then rides the
+        # score-dequant constant cs — natural-log domain here, kernel
+        # callers multiply by log2(e))
+        col3 = jnp.arange(3 * d)
+        if INT8_QK_SCORES:
+            a_q = qa["attn_a_q"].value
+            a_k = qa["attn_a_k"].value
+            thirds = jnp.where(col3 < d, 1.0 / a_q,
+                               jnp.where(col3 < 2 * d, 1.0 / a_k,
+                                         1.0 / a_ctx))
+            cs = a_q * a_k * (d // self.num_heads) ** -0.5
+        else:
+            thirds = jnp.where(col3 < 2 * d, 1.0, 1.0 / a_ctx)
+            cs = None
         return (n1_scale.astype(jnp.float32) / a_x,
                 n1_bias.astype(jnp.float32) / a_x,
                 qa["attn_wqkv_q"].value,
-                a_x * qa["attn_wqkv_scale"].value * vmask,
-                bqkv * vmask,
+                a_x * qa["attn_wqkv_scale"].value * thirds,
+                bqkv * thirds,
                 qa["attn_wo_q"].value,
                 a_ctx * qa["attn_wo_scale"].value,
-                attn["proj"][1].astype(jnp.float32))
+                attn["proj"][1].astype(jnp.float32),
+                cs)
 
     def _attention_int8(self, xw, attn_args, bias, mask):
         """w8a8 attention half on pre-partitioned (BW, N, C) windows: the
@@ -425,7 +456,7 @@ class SwinBlock(nn.Module):
         Serving-only — stop_gradient'ed."""
         c = xw.shape[-1]
         (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
-         bo) = attn_args
+         bo, cs) = attn_args
 
         ow = None
         if self.use_pallas and jax.default_backend() == "tpu":
@@ -433,7 +464,8 @@ class SwinBlock(nn.Module):
             ow = fused_swin_attn_block_int8(
                 xw.astype(jnp.bfloat16), ln_scale_q, ln_bias_q, wqkv_q,
                 sqkv_eff, bqkv_eff, wo_q, so_eff, bo, bias, mask,
-                self.num_heads, LN_EPS)
+                self.num_heads, LN_EPS,
+                cs=None if cs is None else cs * _SWIN_LOG2E)
             if ow is not None:
                 ow = ow.astype(xw.dtype)
         if ow is None:
@@ -449,16 +481,32 @@ class SwinBlock(nn.Module):
             yi = jax.lax.dot_general(
                 xq.reshape(-1, c), wqkv_q, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
-            qkv = (yi.astype(jnp.float32) * sqkv_eff + bqkv_eff
-                   ).astype(jnp.bfloat16).reshape(bw, n, 3 * c)
+            qkv_f = (yi.astype(jnp.float32)
+                     * sqkv_eff + bqkv_eff).reshape(bw, n, 3 * c)
 
             def heads(t):
                 return t.reshape(bw, n, self.num_heads, dh
                                  ).transpose(0, 2, 1, 3)
 
-            q, k, v = jnp.split(qkv, 3, axis=-1)
-            ctx = window_attention(heads(q), heads(k), heads(v), bias, mask,
-                                   use_pallas=False)
+            if cs is not None:
+                # int8 score matmuls, same arithmetic as the kernel's
+                # qk8 path
+                from geovpr.ops.window_attention import (
+                    _window_attention_from_scores)
+                q8 = jnp.clip(jnp.round(qkv_f[..., :c]), -127,
+                              127).astype(jnp.int8)
+                k8 = jnp.clip(jnp.round(qkv_f[..., c:2 * c]), -127,
+                              127).astype(jnp.int8)
+                v = qkv_f[..., 2 * c:].astype(jnp.bfloat16)
+                s = jnp.einsum("bhnd,bhmd->bhnm", heads(q8), heads(k8),
+                               preferred_element_type=jnp.int32
+                               ).astype(jnp.float32) * cs
+                ctx = _window_attention_from_scores(s, heads(v), bias, mask)
+            else:
+                qkv = qkv_f.astype(jnp.bfloat16)
+                q, k, v = jnp.split(qkv, 3, axis=-1)
+                ctx = window_attention(heads(q), heads(k), heads(v), bias,
+                                       mask, use_pallas=False)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(bw * n, c)
             ctxq = jnp.clip(jnp.round(ctx.astype(jnp.float32)),
                             -127, 127).astype(jnp.int8)

@@ -43,6 +43,13 @@ _VMEM_LIMIT_MB = int(os.environ.get("GEOVPR_MHSA_VMEM_MB", "28"))
 # `skip_max`) — overflow-safe via clamp, measured faster; env opt-out for
 # A/B remeasurement
 _SKIP_MAX = os.environ.get("GEOVPR_MHSA_SKIP_MAX", "1") == "1"
+# the generic masked kernels (the non-key-split fallback path, e.g. an
+# f32 model at production N) need their scoped-VMEM limit raised past the
+# 16 MB default: base-14 f32 at bb=2 measures 17 MB of stack and the
+# compile hard-fails (seen live: the driver's f32 entry() compile check).
+# 64 MB is far under the 128 MB chip VMEM and the path is correctness-,
+# not performance-critical.
+_MASKED_VMEM_LIMIT = 64 * 1024 * 1024
 # all-in-one training backward (see _mhsa_bwd_all_kernel) — env opt-out
 # for A/B remeasurement against the split composition
 _BWD_ALL = os.environ.get("GEOVPR_MHSA_BWD_ALL", "1") == "1"
@@ -137,6 +144,55 @@ def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,
         o = jnp.dot(ps[h].astype(v.dtype), v[:na],
                     preferred_element_type=jnp.float32)
         o = (o + pbs[h] * v[na:na + 1].astype(jnp.float32)) / zs[h]
+        if quantize_out:
+            o = jnp.clip(jnp.round(o), -127, 127)
+        ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
+
+
+def _stage_split_attention_qk8(qi, ki, v, ctx_ref, *, rows, d: int,
+                               dh: int, num_heads: int, na: int, cs,
+                               quantize_out: bool = False,
+                               skip_max: bool = False):
+    """int8-score variant of `_stage_split_attention`: q and k arrive
+    REQUANTIZED to int8 (static per-tensor scales a_q/a_k folded into the
+    qkv dequant by the caller), the score matmuls run int8 x int8 -> int32
+    on the MXU (~2x the bf16 rate at these shapes), and `cs` =
+    a_q·a_k·head_scale·log2(e) dequantizes the int32 scores straight into
+    the exp2 softmax domain. The key-split last key goes through the same
+    int8 values cast f32 so both sides of the split share one scale. v
+    stays bf16 (same PV matmul as the bf16 core; int8 P would need the
+    max-shift back to bound p <= 1 — see docs/DESIGN.md).
+
+    `v` is a separate (M, d) slab (NOT the k|v column block): with k int8
+    and v bf16 the two no longer share a dtype/layout."""
+    ss, sbs = [], []
+    for h in range(num_heads):          # stage 1: int8 score matmuls
+        q = qi[rows, h * dh:(h + 1) * dh]
+        k = ki[rows, h * dh:(h + 1) * dh]
+        si = jax.lax.dot_general(       # (NP, na) int32
+            q, k[:na], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        ss.append(si.astype(jnp.float32) * cs)
+        sbs.append(jnp.sum(
+            q.astype(jnp.float32) * k[na:na + 1].astype(jnp.float32),
+            axis=-1, keepdims=True) * cs)
+    ps, pbs, zs = [], [], []
+    for h in range(num_heads):          # stage 2: all softmaxes (VPU)
+        if skip_max:
+            p = jnp.exp2(jnp.minimum(ss[h], 100.0))
+            pb = jnp.exp2(jnp.minimum(sbs[h], 100.0))
+        else:
+            mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
+            p = jnp.exp2(ss[h] - mx)
+            pb = jnp.exp2(sbs[h] - mx)
+        ps.append(p)
+        pbs.append(pb)
+        zs.append(jnp.sum(p, axis=-1, keepdims=True) + pb)
+    for h in range(num_heads):          # stage 3: all pv matmuls (bf16)
+        vh = v[rows, h * dh:(h + 1) * dh]
+        o = jnp.dot(ps[h].astype(vh.dtype), vh[:na],
+                    preferred_element_type=jnp.float32)
+        o = (o + pbs[h] * vh[na:na + 1].astype(jnp.float32)) / zs[h]
         if quantize_out:
             o = jnp.clip(jnp.round(o), -127, 127)
         ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
@@ -269,9 +325,9 @@ def _mhsa_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
 
 def _mhsa_kernel_v3_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref,
                          sqkv_ref, bqkv_ref, wo_q_ref, so_ref, bo_ref,
-                         gamma_ref, o_ref, ctx_ref,
+                         gamma_ref, cs_ref, o_ref, ctx_ref,
                          *, num_heads: int, n_valid: int, bb: int,
-                         ln_eps: float):
+                         ln_eps: float, qk8: bool):
     """w8a8 serving variant of `_mhsa_kernel_v3`: the qkv and out
     projections run int8 x int8 -> int32 on the MXU (slope-measured 363.7
     vs bf16's 176.4 TOP/s at these exact shapes); the attention core stays
@@ -302,16 +358,34 @@ def _mhsa_kernel_v3_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref,
                   -127, 127).astype(jnp.int8)
 
     yi = jax.lax.dot(xq, wqkv_q_ref[:], preferred_element_type=jnp.int32)
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
-    srow = jnp.where(col3 < d, dh ** -0.5 * _LOG2E, 1.0)
-    qkv = ((yi.astype(jnp.float32) * sqkv_ref[:]
-            + bqkv_ref[:]) * srow).astype(jnp.bfloat16)
+    if qk8:
+        # q/k thirds arrive in a_q/a_k quantized units (fold:
+        # DinoV2Block._attn_int8_fold) — no srow: the head scale and
+        # log2(e) ride the score-dequant constant cs instead
+        qkv_f = yi.astype(jnp.float32) * sqkv_ref[:] + bqkv_ref[:]
+        qi = jnp.clip(jnp.round(qkv_f[:, :d]), -127, 127).astype(jnp.int8)
+        ki = jnp.clip(jnp.round(qkv_f[:, d:2 * d]), -127,
+                      127).astype(jnp.int8)
+        v = qkv_f[:, 2 * d:].astype(jnp.bfloat16)
+        cs = cs_ref[0]
+        for e in range(bb):
+            rows = slice(e * np_, (e + 1) * np_)
+            _stage_split_attention_qk8(qi, ki, v, ctx_ref, rows=rows, d=d,
+                                       dh=dh, num_heads=num_heads, na=na,
+                                       cs=cs, quantize_out=True,
+                                       skip_max=_SKIP_MAX)
+    else:
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+        srow = jnp.where(col3 < d, dh ** -0.5 * _LOG2E, 1.0)
+        qkv = ((yi.astype(jnp.float32) * sqkv_ref[:]
+                + bqkv_ref[:]) * srow).astype(jnp.bfloat16)
 
-    for e in range(bb):
-        rows = slice(e * np_, (e + 1) * np_)
-        _stage_split_attention(qkv[:, :d], qkv[:, d:], ctx_ref, rows=rows,
-                               d=d, dh=dh, num_heads=num_heads, na=na,
-                               quantize_out=True, skip_max=_SKIP_MAX)
+        for e in range(bb):
+            rows = slice(e * np_, (e + 1) * np_)
+            _stage_split_attention(qkv[:, :d], qkv[:, d:], ctx_ref,
+                                   rows=rows, d=d, dh=dh,
+                                   num_heads=num_heads, na=na,
+                                   quantize_out=True, skip_max=_SKIP_MAX)
 
     yo = jax.lax.dot(ctx_ref[:], wo_q_ref[:],
                      preferred_element_type=jnp.int32)
@@ -326,12 +400,17 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
                           wo_q: jax.Array, so_eff: jax.Array, bo: jax.Array,
                           gamma: jax.Array, num_heads: int,
                           block_batch: int = 2, ln_eps: float = 1e-6,
-                          n_valid: int | None = None) -> jax.Array | None:
+                          n_valid: int | None = None,
+                          cs: jax.Array | None = None) -> jax.Array | None:
     """Serving-only (no VJP) w8a8 fused attention block. Arguments carry
     PRE-FOLDED static scales — see `_mhsa_kernel_v3_int8` and the fold in
     `geovpr/models/dinov2.py` (DinoV2Block). Returns None when the v3
     fast-path conditions don't hold (caller falls back to the XLA int8
     path); only the key-split layout is worth quantizing.
+
+    `cs`: int8-score mode (INT8_QK_SCORES) — the scalar score-dequant
+    constant a_q·a_k·head_scale·log2(e); requires sqkv_eff/bqkv_eff folded
+    with the 1/a_q / 1/a_k thirds. None = bf16 score matmuls.
 
     `n_valid`: resident-padding mode — the caller keeps the token stream
     padded to the sublane quantum across the whole serving stack (the
@@ -359,7 +438,10 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
     xf = x.reshape(b * np_, d)
 
     kernel = functools.partial(_mhsa_kernel_v3_int8, num_heads=num_heads,
-                               n_valid=n, bb=bb, ln_eps=ln_eps)
+                               n_valid=n, bb=bb, ln_eps=ln_eps,
+                               qk8=cs is not None)
+    cs_arr = (jnp.zeros((1,), jnp.float32) if cs is None
+              else jnp.reshape(cs.astype(jnp.float32), (1,)))
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -378,6 +460,7 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), vec, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -389,7 +472,7 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
             bytes_accessed=2 * b * np_ * d * x.dtype.itemsize,
             transcendentals=b * num_heads * np_ * np_),
     )(xf, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
-      bo, gamma)
+      bo, gamma, cs_arr)
     out = out.reshape(b, np_, d)
     if n_valid is not None:
         return jax.lax.stop_gradient(out)     # stays resident-padded
@@ -647,7 +730,8 @@ def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                      wqkv: jax.Array, bqkv: jax.Array,
                      wo: jax.Array, bo: jax.Array, gamma: jax.Array,
                      num_heads: int, block_batch: int = 2,
-                     ln_eps: float = 1e-6) -> jax.Array:
+                     ln_eps: float = 1e-6,
+                     n_valid: int | None = None) -> jax.Array:
     """Fused pre-LN attention block:
         out = x + gamma * MHSA(LN(x)) @ Wo
     x: (B, N, D). wqkv: (D, 3D) with q|k|v column blocks; wo: (D, D);
@@ -658,7 +742,16 @@ def fused_mhsa_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
     residuals; the backward runs a Pallas attention-core kernel for dqkv
     (probabilities recomputed in VMEM, N^2 never hits HBM) plus plain XLA
     matmuls for the weight gradients and an exact LayerNorm VJP.
+
+    `n_valid`: resident-padding SERVING mode (see fused_mhsa_block_int8):
+    x arrives and is returned padded to ceil16(n_valid) rows; routes
+    through the no-VJP forward under stop_gradient.
     """
+    if n_valid is not None:
+        return jax.lax.stop_gradient(_fused_mhsa_pallas(
+            x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
+            num_heads=num_heads, block_batch=block_batch, ln_eps=ln_eps,
+            n_valid=n_valid))
 
     @jax.custom_vjp
     def run(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma):
@@ -751,17 +844,26 @@ def _fused_mhsa_pallas(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                        wqkv: jax.Array, bqkv: jax.Array,
                        wo: jax.Array, bo: jax.Array, gamma: jax.Array,
                        num_heads: int, block_batch: int = 2,
-                       ln_eps: float = 1e-6) -> jax.Array:
+                       ln_eps: float = 1e-6,
+                       n_valid: int | None = None) -> jax.Array:
     b, n, d = x.shape
     dh = d // num_heads
     scale = dh ** -0.5
     # pad rows only to the sublane quantum (16 for bf16) — padding to a full
     # 128 lane tile costs 1.4x extra projection FLOPs and 2.2x extra
     # attention FLOPs at ViT N=257 (384 vs 272 rows); Mosaic handles
-    # non-128 row counts fine since N is the *sublane* dim of every matmul
-    np_ = -(-n // 16) * 16
-    if np_ != n:
-        x = jnp.pad(x, [(0, 0), (0, np_ - n), (0, 0)])
+    # non-128 row counts fine since N is the *sublane* dim of every matmul.
+    # In resident mode (n_valid) x arrives already padded and is returned
+    # padded — the caller owns the single pad/slice pair.
+    if n_valid is not None:
+        if n != -(-n_valid // 16) * 16:
+            raise ValueError(f"resident padding: got {n} rows for "
+                             f"n_valid={n_valid}")
+        np_, n = n, n_valid
+    else:
+        np_ = -(-n // 16) * 16
+        if np_ != n:
+            x = jnp.pad(x, [(0, 0), (0, np_ - n), (0, 0)])
     bb = block_batch
     while b % bb != 0:
         bb //= 2
@@ -780,7 +882,8 @@ def _fused_mhsa_pallas(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                                    scale=scale, n_valid=n, bb=bb,
                                    ln_eps=ln_eps)
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",))
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_MASKED_VMEM_LIMIT)
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -808,6 +911,8 @@ def _fused_mhsa_pallas(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
             transcendentals=b * num_heads * np_ * np_),
     )(xf, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma)
     out = out.reshape(b, np_, d)
+    if n_valid is not None:
+        return out      # stays resident-padded
     return out[:, :n, :] if np_ != n else out
 
 
@@ -841,7 +946,8 @@ def _fused_mhsa_pallas_train(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
                                    scale=scale, n_valid=n, bb=bb,
                                    ln_eps=ln_eps)
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",))
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_MASKED_VMEM_LIMIT)
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out, qkv, ctx = pl.pallas_call(
@@ -904,7 +1010,8 @@ def _attn_bwd_pallas(qkv: jax.Array, da: jax.Array, num_heads: int,
         kernel = functools.partial(_attn_bwd_kernel, num_heads=num_heads,
                                    scale=scale, n_valid=n_valid, bb=bb)
         compiler_params = pltpu.CompilerParams(
-            dimension_semantics=("parallel",))
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_MASKED_VMEM_LIMIT)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((m, d3), qkv.dtype),

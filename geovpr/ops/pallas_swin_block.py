@@ -332,6 +332,63 @@ def _swin_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,
             i += 1
 
 
+def _swin_attention_stages_qk8(qi, ki, v, bias_ref, mask_ref, ctx_ref,
+                               *, num_heads: int, n: int, wb: int, nw: int,
+                               d: int, cs, has_mask: bool,
+                               quantize_out: bool = False,
+                               skip_max: bool | None = None):
+    """int8-score variant of `_swin_attention_stages` (serving only): q/k
+    arrive REQUANTIZED to int8 (static a_q/a_k folded into the qkv dequant
+    by the caller, SwinBlock._attn_int8_fold), score matmuls run
+    int8 x int8 -> int32 on the MXU, and `cs` = a_q·a_k·scale·log2(e)
+    dequantizes the int32 scores straight into the exp2 domain where the
+    (log2e-pre-scaled) rel-pos bias and shift mask add as before. v stays
+    bf16 — int8 P would need the max-shift back to bound p <= 1."""
+    if skip_max is None:
+        skip_max = _SKIP_MAX
+    dh = d // num_heads
+    pid = pl.program_id(0)
+    ss = []
+    for w in range(wb):                     # stage 1: int8 score matmuls
+        rows = slice(w * n, (w + 1) * n)
+        for h in range(num_heads):
+            si = jax.lax.dot_general(
+                qi[rows, h * dh:(h + 1) * dh],
+                ki[rows, h * dh:(h + 1) * dh],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            ss.append(si.astype(jnp.float32) * cs)
+    ps = []
+    i = 0
+    for w in range(wb):                     # stage 2: all softmaxes (VPU)
+        if has_mask:
+            off = ((pid * wb + w) % nw) * n
+            m_w = mask_ref[pl.ds(off, n), :]    # pre-scaled by log2(e)
+        for h in range(num_heads):
+            s = ss[i] + bias_ref[h * n:(h + 1) * n, :]
+            if has_mask:
+                s = s + m_w
+            if skip_max:
+                p = jnp.exp2(jnp.minimum(s, 100.0))
+            else:
+                p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
+            ps.append((p, jnp.sum(p, axis=-1, keepdims=True)))
+            i += 1
+    i = 0
+    for w in range(wb):                     # stage 3: all pv matmuls (bf16)
+        rows = slice(w * n, (w + 1) * n)
+        for h in range(num_heads):
+            lanes = slice(h * dh, (h + 1) * dh)
+            vh = v[rows, lanes]
+            p, z = ps[i]
+            o = jnp.dot(p.astype(vh.dtype), vh,
+                        preferred_element_type=jnp.float32) / z
+            if quantize_out:
+                o = jnp.clip(jnp.round(o), -127, 127)
+            ctx_ref[rows, lanes] = o.astype(ctx_ref.dtype)
+            i += 1
+
+
 def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
             wo_ref, bo_ref, bias_ref, mask_ref, o_ref, ctx_ref,
             *, num_heads: int, n: int, wb: int, nw: int, scale: float,
@@ -364,9 +421,9 @@ def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
 
 def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
                  bqkv_ref, wo_q_ref, so_ref, bo_ref, bias_ref, mask_ref,
-                 o_ref, ctx_ref, *, num_heads: int, n: int, wb: int,
-                 nw: int, scale: float, ln_eps: float, has_mask: bool,
-                 g: int = 1):
+                 cs_ref, o_ref, ctx_ref, *, num_heads: int, n: int,
+                 wb: int, nw: int, scale: float, ln_eps: float,
+                 has_mask: bool, g: int = 1, qk8: bool = False):
     """w8a8 serving variant: the qkv and out projections run
     int8 x int8 -> int32 on the MXU; the attention core stays bf16. Static
     activation scales arrive PRE-FOLDED by the caller (same fold as
@@ -388,14 +445,28 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
                   -127, 127).astype(jnp.int8)
 
     yi = jax.lax.dot(xq, wqkv_q_ref[:], preferred_element_type=jnp.int32)
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
-    srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
-    qkv = ((yi.astype(jnp.float32) * sqkv_ref[:]
-            + bqkv_ref[:]) * srow).astype(jnp.bfloat16)
+    if qk8:
+        # q/k thirds arrive in a_q/a_k quantized units (fold:
+        # SwinBlock._attn_int8_fold) — no srow: scale·log2(e) rides the
+        # score-dequant constant cs instead
+        qkv_f = yi.astype(jnp.float32) * sqkv_ref[:] + bqkv_ref[:]
+        qi = jnp.clip(jnp.round(qkv_f[:, :d]), -127, 127).astype(jnp.int8)
+        ki = jnp.clip(jnp.round(qkv_f[:, d:2 * d]), -127,
+                      127).astype(jnp.int8)
+        v = qkv_f[:, 2 * d:].astype(jnp.bfloat16)
+        _swin_attention_stages_qk8(qi, ki, v, bias_ref, mask_ref, ctx_ref,
+                                   num_heads=num_heads, n=n, wb=wb, nw=nw,
+                                   d=d, cs=cs_ref[0], has_mask=has_mask,
+                                   quantize_out=True)
+    else:
+        col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+        srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
+        qkv = ((yi.astype(jnp.float32) * sqkv_ref[:]
+                + bqkv_ref[:]) * srow).astype(jnp.bfloat16)
 
-    _core_stages(qkv, bias_ref, mask_ref, ctx_ref,
-                 num_heads=num_heads, n=n, wb=wb, nw=nw, d=d, g=g,
-                 has_mask=has_mask, quantize_out=True)
+        _core_stages(qkv, bias_ref, mask_ref, ctx_ref,
+                     num_heads=num_heads, n=n, wb=wb, nw=nw, d=d, g=g,
+                     has_mask=has_mask, quantize_out=True)
 
     yo = jax.lax.dot(ctx_ref[:], wo_q_ref[:],
                      preferred_element_type=jnp.int32)
@@ -944,12 +1015,17 @@ fused_swin_attn_block.defvjp(_fwd, _bwd)
 
 def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
                                bqkv_eff, wo_q, so_eff, bo, bias, mask,
-                               num_heads: int, ln_eps: float = 1e-5):
+                               num_heads: int, ln_eps: float = 1e-5,
+                               cs=None):
     """Serving-only (no VJP) w8a8 fused Swin attention half-block.
     Arguments carry PRE-FOLDED static scales — see `_kernel_int8` and the
     fold in `geovpr/models/swin.py` (SwinBlock._attn_int8_fold). Returns
     None when the kernel eligibility conditions don't hold (caller falls
-    back to the XLA int8 window-attention path)."""
+    back to the XLA int8 window-attention path).
+
+    `cs`: int8-score mode (INT8_QK_SCORES) — the scalar score-dequant
+    constant a_q·a_k·scale·log2(e); requires sqkv_eff/bqkv_eff folded with
+    the 1/a_q / 1/a_k thirds. None = bf16 score matmuls."""
     bw, n, c = xw.shape
     dh = c // num_heads
     scale = dh ** -0.5
@@ -970,7 +1046,9 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
 
     kernel = functools.partial(_kernel_int8, num_heads=num_heads, n=n,
                                wb=wb, nw=nw, scale=scale, ln_eps=ln_eps,
-                               has_mask=has_mask, g=g)
+                               has_mask=has_mask, g=g, qk8=cs is not None)
+    cs_arr = (jnp.zeros((1,), jnp.float32) if cs is None
+              else jnp.reshape(cs.astype(jnp.float32), (1,)))
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -991,6 +1069,7 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
             pl.BlockSpec(bias_f.shape, whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), vec, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((wb * n, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -1003,7 +1082,7 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
             bytes_accessed=2 * bw * n * c * xw.dtype.itemsize,
             transcendentals=bw * num_heads * n * n),
     )(xf, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
-      bo, bias_f, mask_f)
+      bo, bias_f, mask_f, cs_arr)
     return jax.lax.stop_gradient(out.reshape(bw, n, c))
 
 

@@ -20,9 +20,18 @@ full model in `bench.py --int8`'s cosine report), NOT for training.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# int8 SCORE matmuls inside the attention core (q/k requantized to int8
+# after the int8 qkv projection; S = qi·kiᵀ on the int8 MXU, dequantized
+# by the static constant a_q·a_k·scale before softmax). Read by the model
+# folds AND the Pallas kernels so both sides of the contract switch
+# together. Env opt-out for A/B measurement.
+INT8_QK_SCORES = os.environ.get("GEOVPR_INT8_QK", "1") != "0"
 
 
 def quantize_weight(w) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -29,6 +29,14 @@ def _window_attention_xla(q, k, v, bias, mask, scale):
     # q,k,v: (BW, H, N, Dh); bias: (H, N, N); mask: (nW, N, N) | None
     scores = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                         preferred_element_type=jnp.float32) * scale
+    return _window_attention_from_scores(scores, v, bias, mask)
+
+
+def _window_attention_from_scores(scores, v, bias, mask):
+    """bias/mask add + softmax + PV from pre-scaled (BW, H, N, N) f32
+    scores — shared by the bf16 path above and the int8-score serving
+    fallback (SwinBlock._attention_int8), whose scores come from an
+    int8 x int8 einsum dequantized by the static cs constant."""
     scores = scores + bias[None].astype(scores.dtype)
     if mask is not None:
         nw = mask.shape[0]

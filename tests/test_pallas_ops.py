@@ -94,6 +94,38 @@ class TestFusedMhsaBlock:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-3, rtol=2e-3)
 
+    def test_bf16_resident_padded_matches_unpadded(self, monkeypatch):
+        """bf16 resident-padding serving mode (n_valid on fused_mhsa_block,
+        round 3): must agree with the self-padding path on the valid
+        rows and return the padded shape."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = 2, 129, 16, 4
+        NP = -(-N // 16) * 16
+        rng = np.random.default_rng(7)
+        x = jnp.array(rng.normal(size=(B, N, D)).astype(np.float32))
+        ln_s = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1 + 1)
+        ln_b = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1)
+        wqkv = jnp.array(rng.normal(size=(D, 3 * D)).astype(np.float32) * 0.2)
+        bqkv = jnp.array(rng.normal(size=3 * D).astype(np.float32) * 0.1)
+        wo = jnp.array(rng.normal(size=(D, D)).astype(np.float32) * 0.2)
+        bo = jnp.array(rng.normal(size=D).astype(np.float32) * 0.1)
+        gamma = jnp.array(rng.normal(size=D).astype(np.float32) * 0.5)
+        args = (ln_s, ln_b, wqkv, bqkv, wo, bo, gamma)
+
+        plain = m.fused_mhsa_block(x, *args, num_heads=H)
+        xp = jnp.pad(x, [(0, 0), (0, NP - N), (0, 0)])
+        padded = m.fused_mhsa_block(xp, *args, num_heads=H, n_valid=N)
+        assert padded.shape == (B, NP, D)
+        np.testing.assert_array_equal(np.asarray(plain),
+                                      np.asarray(padded)[:, :N])
+
     def test_padding_masked(self, monkeypatch):
         """N=5 pads to 128 inside the kernel; padded keys must not leak
         into the softmax (checked implicitly by the parity test above, and
@@ -385,6 +417,69 @@ class TestFusedMhsaInt8:
         step = np.asarray(args[6]) * np.asarray(args[8])  # so_eff * gamma
         assert err.max() <= np.abs(step).max() * 1.5 + 1e-3, err.max()
 
+    def test_qk8_kernel_matches_xla_fallback(self, monkeypatch):
+        """int8-SCORE mode (cs given): q/k requantized in-kernel, int8
+        score matmuls dequantized by cs — vs the identical-arithmetic XLA
+        fallback in DinoV2Block._attention_int8. Requantize + int32
+        matmuls are bit-exact on both sides; only softmax rounding
+        differs."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = 2, 129, 16, 4
+        dh = D // H
+        rng = np.random.default_rng(23)
+        x = jnp.asarray(rng.normal(size=(B, N, D)) * 0.5, jnp.float32)
+        args = list(self._case(rng, D))
+        # keep |q|,|k| in a healthy int8 range; v stays in ctx units
+        args[3] = args[3] * jnp.where(jnp.arange(3 * D) < 2 * D, 0.05, 1.0)
+        cs = jnp.float32(0.9 * dh ** -0.5)
+        got = m.fused_mhsa_block_int8(x, *args, num_heads=H,
+                                      cs=cs * m._LOG2E)
+        assert got is not None
+
+        (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
+         bo, gamma) = args
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+        xq = jnp.clip(jnp.round(normed * ln_scale_q + ln_bias_q),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.dot_general(
+            xq.reshape(-1, D), wqkv_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        qkv_f = (yi.astype(jnp.float32) * sqkv_eff
+                 + bqkv_eff).reshape(B, N, 3 * D)
+
+        def heads(t):
+            return t.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+
+        q8 = jnp.clip(jnp.round(qkv_f[..., :D]), -127, 127).astype(jnp.int8)
+        k8 = jnp.clip(jnp.round(qkv_f[..., D:2 * D]), -127,
+                      127).astype(jnp.int8)
+        v = qkv_f[..., 2 * D:].astype(jnp.bfloat16)
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q8), heads(k8),
+                       preferred_element_type=jnp.int32
+                       ).astype(jnp.float32) * cs
+        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v),
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B * N, D)
+        ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
+        yo = jax.lax.dot_general(ctxq, wo_q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        out = yo.astype(jnp.float32) * so_eff + bo
+        want = (out.reshape(B, N, D) * gamma + xf).astype(x.dtype)
+        err = np.abs(np.asarray(got) - np.asarray(want))
+        step = np.asarray(so_eff) * np.asarray(gamma)
+        assert err.max() <= np.abs(step).max() * 1.5 + 1e-3, err.max()
+
     @pytest.mark.parametrize("n_valid", [129])
     def test_resident_padded_matches_unpadded(self, monkeypatch, n_valid):
         """Resident-padding mode (n_valid) must agree with the self-padding
@@ -570,6 +665,70 @@ class TestFusedSwinAttnBlock:
         want = (yo.astype(jnp.float32) * args[6] + bo).reshape(bw, n, c) + xf
         # int8 rounding can flip a context unit by +-1 near .5 boundaries;
         # compare on output scale
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0.02 * scale, rtol=0.02)
+
+    @pytest.mark.parametrize("with_mask", [True, False])
+    def test_int8_qk8_kernel_matches_xla(self, monkeypatch, with_mask):
+        """The int8-SCORE serving kernel (cs given: q/k requantized in-
+        kernel, int8 x int8 score matmuls dequantized by cs) vs the
+        identical-arithmetic XLA fallback in SwinBlock._attention_int8.
+        The q/k requantize and the int32 score matmul are bit-exact on
+        both sides; only softmax rounding differs."""
+        from geovpr.ops.quant import quantize_weight
+        m = self._patch(monkeypatch)
+        bw, n, c, h, nw = 8, 16, 128, 2, 4
+        xw, ln_s, ln_b, wqkv, bqkv, wo, bo, bias, mask = self._mk(
+            bw, n, c, h, nw, with_mask)
+        dh = c // h
+        a_x, a_ctx, a_q, a_k = 0.11, 0.07, 0.05, 0.06
+        wqkv_q, sqkv = quantize_weight(wqkv)
+        wo_q, so = quantize_weight(wo)
+        col3 = jnp.arange(3 * c)
+        thirds = jnp.where(col3 < c, 1.0 / a_q,
+                           jnp.where(col3 < 2 * c, 1.0 / a_k, 1.0 / a_ctx))
+        cs = jnp.float32(a_q * a_k * dh ** -0.5)
+        args = (ln_s / a_x, ln_b / a_x, wqkv_q, a_x * sqkv * thirds,
+                bqkv * thirds, wo_q, a_ctx * so, bo)
+        got = m.fused_swin_attn_block_int8(xw, *args, bias, mask, h, 1e-5,
+                                           cs=cs * m._LOG2E)
+        assert got is not None
+
+        # XLA reference with the same quantized operands
+        xf = xw.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        xq = jnp.clip(jnp.round(normed * args[0] + args[1]),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.dot_general(xq.reshape(-1, c), wqkv_q,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        qkv_f = (yi.astype(jnp.float32) * args[3]
+                 + args[4]).reshape(bw, n, 3 * c)
+
+        def heads(t):
+            return t.reshape(bw, n, h, dh).transpose(0, 2, 1, 3)
+
+        q8 = jnp.clip(jnp.round(qkv_f[..., :c]), -127, 127).astype(jnp.int8)
+        k8 = jnp.clip(jnp.round(qkv_f[..., c:2 * c]), -127,
+                      127).astype(jnp.int8)
+        v = qkv_f[..., 2 * c:].astype(jnp.bfloat16).astype(jnp.float32)
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q8), heads(k8),
+                       preferred_element_type=jnp.int32
+                       ).astype(jnp.float32) * cs
+        s = s + bias[None]
+        if with_mask:
+            s = (s.reshape(bw // nw, nw, h, n, n)
+                 + mask[None, :, None]).reshape(bw, h, n, n)
+        p = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(bw * n, c)
+        ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
+        yo = jax.lax.dot_general(ctxq, wo_q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        want = (yo.astype(jnp.float32) * args[6] + bo).reshape(bw, n, c) + xf
         scale = float(jnp.max(jnp.abs(want)))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=0.02 * scale, rtol=0.02)
