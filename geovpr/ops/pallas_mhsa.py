@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from geovpr.ops import lane_pack as _lp
+
 _LOG2E = math.log2(math.e)
 # schedule-steering knob for the stage-split kernels (see _v3_fast_path
 # docstring: the e2e sweep is sharply non-monotone, 28 MB is the measured
@@ -43,6 +45,14 @@ _VMEM_LIMIT_MB = int(os.environ.get("GEOVPR_MHSA_VMEM_MB", "28"))
 # `skip_max`) — overflow-safe via clamp, measured faster; env opt-out for
 # A/B remeasurement
 _SKIP_MAX = os.environ.get("GEOVPR_MHSA_SKIP_MAX", "1") == "1"
+# lane-packed TRAINING cores (g = 128/dh heads per core matmul via
+# block-diagonal operands, geovpr/ops/lane_pack.py): measured SLOWER for
+# the ViT's dh=64/g=2 geometry — B=64 train step 72.4 -> 82.4 ms
+# same-session (docs/DESIGN.md). Unlike Swin's dh=32/g=4 (4x op cut on a
+# quarter-filled MXU, 169 -> 141 ms), g=2 only halves the op count on an
+# already half-filled MXU and the block-diagonal assembly + per-band
+# reductions eat the margin. Default OFF; env knob for A/B only.
+_PACKED_TRAIN = os.environ.get("GEOVPR_MHSA_PACKED", "0") == "1"
 # the generic masked kernels (the non-key-split fallback path, e.g. an
 # f32 model at production N) need their scoped-VMEM limit raised past the
 # 16 MB default: base-14 f32 at bb=2 measures 17 MB of stack and the
@@ -196,6 +206,131 @@ def _stage_split_attention_qk8(qi, ki, v, ctx_ref, *, rows, d: int,
         if quantize_out:
             o = jnp.clip(jnp.round(o), -127, 127)
         ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
+
+
+def _pack_group(num_heads: int, dh: int) -> int:
+    """Head-group size for the lane-packed TRAINING cores: g = 128/dh
+    heads ride one core matmul (geovpr/ops/lane_pack.py; ViT-B dh=64 ->
+    pairs). Serving forwards stay per-head — packing them measured slower
+    on the Swin kernels (no stored planes to amortize the operand
+    assembly), the same regime as the ViT serving forward."""
+    if not _PACKED_TRAIN or 128 % dh != 0:
+        return 1
+    g = 128 // dh
+    return g if g > 1 and num_heads % g == 0 else 1
+
+
+def _packed_stage_split_attention(qf, kv, ctx_ref, *, rows, d: int,
+                                  dh: int, num_heads: int, g: int, na: int):
+    """Lane-packed key-split attention core (TRAIN forward): g = 128/dh
+    heads per matmul via block-diagonal operands (lane_pack module
+    docstring). Keeps the training contract of `_stage_split_attention`
+    with skip_max=False: per-band max-shift (including the VPU last key)
+    so the saved residuals match the backward's recompute."""
+    bmask = _lp.band_mask(g, na, dh)
+    ng = num_heads // g
+    ss, sbs = [], []
+    for gi in range(ng):                # stage 1: packed score matmuls
+        lanes = slice(gi * 128, (gi + 1) * 128)
+        q = qf[rows, lanes]
+        k = kv[rows, lanes]
+        ss.append(jax.lax.dot_general(  # (NP, g*na) f32, log2 domain
+            q, _lp.block_diag(k[:na], g, bmask), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))
+        sbs.append(q.astype(jnp.float32)
+                   * k[na:na + 1].astype(jnp.float32))
+    ps, pbs, zs = [], [], []
+    for gi in range(ng):                # stage 2: per-band softmaxes (VPU)
+        s = ss[gi]
+        rows_n = s.shape[0]
+        sbh = [jnp.sum(sbs[gi][:, j * dh:(j + 1) * dh], axis=-1,
+                       keepdims=True) for j in range(g)]
+        mx = jnp.concatenate(
+            [jnp.broadcast_to(
+                jnp.maximum(jnp.max(s[:, j * na:(j + 1) * na], axis=-1,
+                                    keepdims=True), sbh[j]),
+                (rows_n, na)) for j in range(g)], axis=1)
+        p = jnp.exp2(s - mx)
+        pb = [jnp.exp2(sbh[j] - mx[:, j * na:j * na + 1])
+              for j in range(g)]
+        z = [jnp.sum(p[:, j * na:(j + 1) * na], axis=-1, keepdims=True)
+             + pb[j] for j in range(g)]
+        ps.append(p)
+        pbs.append(pb)
+        zs.append(z)
+    for gi in range(ng):                # stage 3: packed pv matmuls
+        lanes = slice(gi * 128, (gi + 1) * 128)
+        v = kv[rows, d + gi * 128:d + (gi + 1) * 128]
+        o = jnp.dot(ps[gi].astype(v.dtype), _lp.block_diag(v[:na], g, bmask),
+                    preferred_element_type=jnp.float32)
+        rows_n = o.shape[0]
+        pb_cat = jnp.concatenate(
+            [jnp.broadcast_to(pbs[gi][j], (rows_n, dh)) for j in range(g)],
+            axis=1)
+        zr_cat = jnp.concatenate(
+            [jnp.broadcast_to(1.0 / zs[gi][j], (rows_n, dh))
+             for j in range(g)], axis=1)
+        o = (o + pb_cat * v[na:na + 1].astype(jnp.float32)) * zr_cat
+        ctx_ref[rows, lanes] = o.astype(ctx_ref.dtype)
+
+
+def _packed_masked_bwd_core(qkv, da, dqkv_ref, *, rows, d: int, dh: int,
+                            num_heads: int, g: int, np_: int, n_valid: int,
+                            scale: float):
+    """Lane-packed attention-core backward (masked/(NP, g*NP) planes —
+    the recompute contract of `_attn_bwd_kernel_v3`): per head group, ONE
+    matmul each for the score recompute, dP, and dq; dk/dv via the
+    full-product trick (contract over rows, keep the g diagonal (NP, dh)
+    bands — no operand assembly, lane-dim concatenate only, which Mosaic
+    lowers fine; the REJECTED sublane concatenate was the key-split
+    variant's). `da` may be a VMEM ref or an in-register array."""
+    bmask = _lp.band_mask(g, np_, dh)
+    colmod = (jax.lax.broadcasted_iota(jnp.int32, (np_, g * np_), 1)
+              % np_)
+    key_mask = colmod < n_valid
+    ng = num_heads // g
+    for gi in range(ng):
+        lanes = slice(gi * 128, (gi + 1) * 128)
+        q = qkv[rows, lanes]
+        k = qkv[rows, d + gi * 128:d + (gi + 1) * 128]
+        v = qkv[rows, 2 * d + gi * 128:2 * d + (gi + 1) * 128]
+        da_g = da[rows, lanes]
+        k_blk = _lp.block_diag(k, g, bmask)
+        s = jax.lax.dot_general(        # recompute scores, (NP, g*NP)
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = jnp.where(key_mask, s * scale, -1e30)
+        s = s - _lp.per_band(s, np_, g,
+                             lambda b: jnp.max(b, axis=-1, keepdims=True))
+        p = jnp.exp(s)
+        p = p * (1.0 / _lp.per_band(
+            p, np_, g, lambda b: jnp.sum(b, axis=-1, keepdims=True)))
+        dp = jax.lax.dot_general(
+            da_g, _lp.block_diag(v, g, bmask), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sub = _lp.per_band(dp * p, np_, g,
+                           lambda b: jnp.sum(b, axis=-1, keepdims=True))
+        ds = p * (dp - sub)
+        ds_b = (ds * scale).astype(qkv.dtype)
+        p_b = p.astype(qkv.dtype)
+        dq = jnp.dot(ds_b, k_blk, preferred_element_type=jnp.float32)
+        r_k = jax.lax.dot_general(
+            ds_b, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r_v = jax.lax.dot_general(
+            p_b, da_g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = jnp.concatenate(
+            [r_k[j * np_:(j + 1) * np_, j * dh:(j + 1) * dh]
+             for j in range(g)], axis=1)
+        dv = jnp.concatenate(
+            [r_v[j * np_:(j + 1) * np_, j * dh:(j + 1) * dh]
+             for j in range(g)], axis=1)
+        dqkv_ref[rows, lanes] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[rows, d + gi * 128:d + (gi + 1) * 128] = (
+            dk.astype(dqkv_ref.dtype))
+        dqkv_ref[rows, 2 * d + gi * 128:2 * d + (gi + 1) * 128] = (
+            dv.astype(dqkv_ref.dtype))
 
 
 def _mhsa_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
@@ -533,14 +668,15 @@ def _mhsa_train_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref,
                           bqkv_ref, wo_ref, bo_ref, gamma_ref, o_ref,
                           qkv_ref, ctx_ref,
                           *, num_heads: int, n_valid: int, bb: int,
-                          ln_eps: float):
+                          ln_eps: float, g: int = 1):
     """Training-forward fast path for n_valid = 128k+1: key-split + exp2
     softmax + deferred normalization + stage-split head loop, exactly as
     `_mhsa_kernel_v3`, but additionally materializing the qkv projections
     and attention context to HBM for the structured backward. The SAVED
     qkv is the plain post-bias projection (no scale/log2e folding) so the
     backward contract is identical to the masked path; the fold is applied
-    to a kernel-local copy of q only."""
+    to a kernel-local copy of q only. `g` > 1 runs the lane-packed core
+    (train-only, see _pack_group)."""
     m, d = x_ref.shape
     np_ = m // bb
     dh = d // num_heads
@@ -562,8 +698,13 @@ def _mhsa_train_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref,
 
     for e in range(bb):
         rows = slice(e * np_, (e + 1) * np_)
-        _stage_split_attention(qf, qkv[:, d:], ctx_ref, rows=rows,
-                               d=d, dh=dh, num_heads=num_heads, na=na)
+        if g > 1:
+            _packed_stage_split_attention(qf, qkv[:, d:], ctx_ref,
+                                          rows=rows, d=d, dh=dh,
+                                          num_heads=num_heads, g=g, na=na)
+        else:
+            _stage_split_attention(qf, qkv[:, d:], ctx_ref, rows=rows,
+                                   d=d, dh=dh, num_heads=num_heads, na=na)
 
     out = jnp.dot(ctx_ref[:], wo_ref[:], preferred_element_type=jnp.float32)
     out = out + bo_ref[:].astype(jnp.float32)
@@ -573,7 +714,7 @@ def _mhsa_train_kernel_v3(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref,
 
 def _attn_bwd_kernel_v3(qkv_ref, da_ref, dqkv_ref,
                         *, num_heads: int, scale: float, n_valid: int,
-                        bb: int):
+                        bb: int, g: int = 1):
     """Attention-core backward with a stage-split head loop: recompute
     matmuls, then softmax VPU chains, then dP matmuls, then softmax-bwd
     VPU, then the gradient matmuls — so Mosaic overlaps the independent
@@ -592,6 +733,13 @@ def _attn_bwd_kernel_v3(qkv_ref, da_ref, dqkv_ref,
     key_mask = col < n_valid
 
     qkv = qkv_ref[:]
+    if g > 1:
+        for e in range(bb):
+            rows = slice(e * np_, (e + 1) * np_)
+            _packed_masked_bwd_core(qkv, da_ref, dqkv_ref, rows=rows, d=d,
+                                    dh=dh, num_heads=num_heads, g=g,
+                                    np_=np_, n_valid=n_valid, scale=scale)
+        return
     for e in range(bb):
         rows = slice(e * np_, (e + 1) * np_)
         ss = []
@@ -940,7 +1088,8 @@ def _fused_mhsa_pallas_train(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo, gamma,
     if compiler_params is not None:
         kernel = functools.partial(_mhsa_train_kernel_v3,
                                    num_heads=num_heads, n_valid=n, bb=bb,
-                                   ln_eps=ln_eps)
+                                   ln_eps=ln_eps,
+                                   g=_pack_group(num_heads, dh))
     else:
         kernel = functools.partial(_mhsa_train_kernel, num_heads=num_heads,
                                    scale=scale, n_valid=n, bb=bb,
@@ -1004,8 +1153,9 @@ def _attn_bwd_pallas(qkv: jax.Array, da: jax.Array, num_heads: int,
     compiler_params = _v3_fast_path(n_valid, np_, num_heads, bb, np_,
                                     qkv.dtype)
     if compiler_params is not None:
-        kernel = functools.partial(_attn_bwd_kernel_v3, num_heads=num_heads,
-                                   scale=scale, n_valid=n_valid, bb=bb)
+        kernel = functools.partial(
+            _attn_bwd_kernel_v3, num_heads=num_heads, scale=scale,
+            n_valid=n_valid, bb=bb, g=_pack_group(num_heads, dh))
     else:
         kernel = functools.partial(_attn_bwd_kernel, num_heads=num_heads,
                                    scale=scale, n_valid=n_valid, bb=bb)
@@ -1065,7 +1215,7 @@ def _mhsa_bwd_all_kernel(x_ref, qkv_ref, ctx_ref, g_ref, wqkv_ref, wo_ref,
                          dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
                          dgamma_ref, dls_ref, dlb_ref, dqkv_scr,
                          *, num_heads: int, scale: float, n_valid: int,
-                         ln_eps: float):
+                         ln_eps: float, pg: int = 1):
     """The ENTIRE fused-MHSA-block backward in one kernel (the ViT port of
     pallas_swin_block._train_bwd_all_kernel, which measured -7% on the full
     Swin train step). The split path's XLA composition — dy = g*gamma,
@@ -1118,55 +1268,63 @@ def _mhsa_bwd_all_kernel(x_ref, qkv_ref, ctx_ref, g_ref, wqkv_ref, wo_ref,
         preferred_element_type=jnp.float32).astype(g_raw.dtype)
 
     # attention core: recompute p per head chunk, dqkv into the VMEM
-    # scratch (stage-split within each chunk, as _attn_bwd_kernel_v3)
-    col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
-    key_mask = col < n_valid
+    # scratch (lane-packed when pg > 1; else stage-split within each head
+    # chunk, as _attn_bwd_kernel_v3)
     qkv = qkv_ref[:]
-    ch = _bwd_all_head_chunk(m, num_heads)
-    for h0 in range(0, num_heads, ch):
-        heads = range(h0, h0 + ch)
-        ss = []
-        for h in heads:                     # stage 1: recompute scores
-            q = qkv[:, h * dh_:(h + 1) * dh_]
-            k = qkv[:, d + h * dh_:d + (h + 1) * dh_]
-            ss.append(jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        pss = []
-        for i, h in enumerate(heads):       # stage 2: softmax recompute
-            s = jnp.where(key_mask, ss[i] * scale, -1e30)
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s)
-            pss.append(p / jnp.sum(p, axis=-1, keepdims=True))
-        dps = []
-        for i, h in enumerate(heads):       # stage 3: dP matmuls
-            v = qkv[:, 2 * d + h * dh_:2 * d + (h + 1) * dh_]
-            da_h = da[:, h * dh_:(h + 1) * dh_]
-            dps.append(jax.lax.dot_general(
-                da_h, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        dss = []
-        for i, h in enumerate(heads):       # stage 4: softmax backward VPU
-            p = pss[i]
-            ds = p * (dps[i] - jnp.sum(dps[i] * p, axis=-1, keepdims=True))
-            dss.append((ds * scale).astype(qkv.dtype))
-        for i, h in enumerate(heads):       # stage 5: gradient matmuls
-            q = qkv[:, h * dh_:(h + 1) * dh_]
-            k = qkv[:, d + h * dh_:d + (h + 1) * dh_]
-            da_h = da[:, h * dh_:(h + 1) * dh_]
-            pb = pss[i].astype(qkv.dtype)
-            dv = jax.lax.dot_general(
-                pb, da_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dq = jnp.dot(dss[i], k, preferred_element_type=jnp.float32)
-            dk = jax.lax.dot_general(
-                dss[i], q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dqkv_scr[:, h * dh_:(h + 1) * dh_] = dq.astype(dqkv_scr.dtype)
-            dqkv_scr[:, d + h * dh_:d + (h + 1) * dh_] = (
-                dk.astype(dqkv_scr.dtype))
-            dqkv_scr[:, 2 * d + h * dh_:2 * d + (h + 1) * dh_] = (
-                dv.astype(dqkv_scr.dtype))
+    if pg > 1:
+        _packed_masked_bwd_core(qkv, da, dqkv_scr, rows=slice(0, m), d=d,
+                                dh=dh_, num_heads=num_heads, g=pg, np_=m,
+                                n_valid=n_valid, scale=scale)
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        key_mask = col < n_valid
+        ch = _bwd_all_head_chunk(m, num_heads)
+        for h0 in range(0, num_heads, ch):
+            heads = range(h0, h0 + ch)
+            ss = []
+            for h in heads:                 # stage 1: recompute scores
+                q = qkv[:, h * dh_:(h + 1) * dh_]
+                k = qkv[:, d + h * dh_:d + (h + 1) * dh_]
+                ss.append(jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            pss = []
+            for i, h in enumerate(heads):   # stage 2: softmax recompute
+                s = jnp.where(key_mask, ss[i] * scale, -1e30)
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s)
+                pss.append(p / jnp.sum(p, axis=-1, keepdims=True))
+            dps = []
+            for i, h in enumerate(heads):   # stage 3: dP matmuls
+                v = qkv[:, 2 * d + h * dh_:2 * d + (h + 1) * dh_]
+                da_h = da[:, h * dh_:(h + 1) * dh_]
+                dps.append(jax.lax.dot_general(
+                    da_h, v, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            dss = []
+            for i, h in enumerate(heads):   # stage 4: softmax backward VPU
+                p = pss[i]
+                ds = p * (dps[i]
+                          - jnp.sum(dps[i] * p, axis=-1, keepdims=True))
+                dss.append((ds * scale).astype(qkv.dtype))
+            for i, h in enumerate(heads):   # stage 5: gradient matmuls
+                q = qkv[:, h * dh_:(h + 1) * dh_]
+                k = qkv[:, d + h * dh_:d + (h + 1) * dh_]
+                da_h = da[:, h * dh_:(h + 1) * dh_]
+                pb = pss[i].astype(qkv.dtype)
+                dv = jax.lax.dot_general(
+                    pb, da_h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dq = jnp.dot(dss[i], k, preferred_element_type=jnp.float32)
+                dk = jax.lax.dot_general(
+                    dss[i], q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dqkv_scr[:, h * dh_:(h + 1) * dh_] = (
+                    dq.astype(dqkv_scr.dtype))
+                dqkv_scr[:, d + h * dh_:d + (h + 1) * dh_] = (
+                    dk.astype(dqkv_scr.dtype))
+                dqkv_scr[:, 2 * d + h * dh_:2 * d + (h + 1) * dh_] = (
+                    dv.astype(dqkv_scr.dtype))
 
     # LN recompute (f32) + qkv-projection weight grads + LN VJP -> dx
     x_raw = x_ref[:]
@@ -1212,7 +1370,8 @@ def _mhsa_bwd_all_pallas(x, qkv, ctx, g, wqkv, wo, bo, gamma, ln_scale,
     b = m // np_
 
     kernel = functools.partial(_mhsa_bwd_all_kernel, num_heads=num_heads,
-                               scale=scale, n_valid=n_valid, ln_eps=ln_eps)
+                               scale=scale, n_valid=n_valid, ln_eps=ln_eps,
+                               pg=_pack_group(num_heads, dh_))
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     row_spec = lambda width: pl.BlockSpec((np_, width), lambda i: (i, 0),

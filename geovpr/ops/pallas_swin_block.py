@@ -105,29 +105,10 @@ def _pack_group(num_heads: int, dh: int, train: bool = True) -> int:
     return g if g > 1 and num_heads % g == 0 else 1
 
 
-def _band_mask(g: int, n: int, dh: int):
-    """(g*n, g*dh) block-diag selector: row band j keeps only head-j lanes.
-    Built from iotas in-kernel — no HBM input, Mosaic folds it to vselects."""
-    band = jax.lax.broadcasted_iota(jnp.int32, (g * n, g * dh), 0) // n
-    lane = jax.lax.broadcasted_iota(jnp.int32, (g * n, g * dh), 1) // dh
-    return band == lane
-
-
-def _block_diag(t, g: int, bmask):
-    """(n, g*dh) head-interleaved slab -> (g*n, g*dh) block-diagonal
-    operand: row band j = t with every lane outside head j zeroed. Cross-
-    head products against it are EXACT zeros, so a single 128-deep matmul
-    computes g heads' 32-deep contractions bit-identically (x+0 == x)."""
-    tiled = jnp.concatenate([t] * g, axis=0)
-    return jnp.where(bmask, tiled, jnp.zeros_like(tiled))
-
-
-def _per_band(x, n: int, g: int, reduce_fn):
-    """Per-head-band lane reduction of a packed (n, g*n) plane, broadcast
-    back to the packed layout."""
-    return jnp.concatenate(
-        [jnp.broadcast_to(reduce_fn(x[:, j * n:(j + 1) * n]), (x.shape[0], n))
-         for j in range(g)], axis=1)
+# shared lane-packing primitives (also used by pallas_mhsa)
+from geovpr.ops.lane_pack import (band_mask as _band_mask,
+                                  block_diag as _block_diag,
+                                  per_band as _per_band)
 
 
 def _packed_attention_stages(qkv, bias_ref, mask_ref, ctx_ref,

@@ -295,6 +295,48 @@ class TestFusedMhsaGrads:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("bwd_all", [True, False])
+    def test_packed_train_core_matches_unpacked(self, monkeypatch, bwd_all):
+        """The lane-packed ViT training cores (g = 128/dh = 2 at dh=64,
+        _packed_stage_split_attention fwd + _packed_masked_bwd_core bwd,
+        engaged in both the all-in-one and the split backward) must agree
+        with the per-head cores to accumulation-order roundoff. D=128,
+        H=2 -> dh=64, g=2; N=129 routes the key-split train fast path."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        monkeypatch.setattr(m, "_BWD_ALL", bwd_all)
+
+        B, N, D, H = 2, 129, 128, 2
+        rng = np.random.default_rng(11)
+        x = jnp.array(rng.normal(size=(B, N, D)) * 0.5, jnp.float32)
+        args = tuple(jnp.array(rng.normal(size=s) * 0.1, jnp.float32)
+                     for s in [(D,), (D,), (D, 3 * D), (3 * D,), (D, D),
+                               (D,), (D,)])
+
+        def run(packed):
+            monkeypatch.setattr(m, "_PACKED_TRAIN", packed)
+
+            def loss(x, *a):
+                return jnp.sum(m.fused_mhsa_block(x, *a, num_heads=H) ** 2)
+
+            out = m.fused_mhsa_block(x, *args, num_heads=H)
+            grads = jax.grad(loss, argnums=tuple(range(8)))(x, *args)
+            return out, grads
+
+        out_u, g_u = run(False)
+        out_p, g_p = run(True)
+        assert m._pack_group(H, D // H) == 2
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                                   rtol=2e-5, atol=2e-5)
+        for a, b in zip(g_p, g_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=1e-3)
+
     @pytest.mark.parametrize("case", [(2, 9, 16, 2), (2, 129, 32, 4),
                                       (1, 17, 48, 3)])
     def test_all_in_one_backward_matches_split(self, monkeypatch, case):
