@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from geovpr.models.backbone import BackboneOutput
 from geovpr.models.layers import DropPath, Mlp
-from geovpr.ops.quant import INT8_QK_SCORES
+from geovpr.ops.quant import INT8_PV, INT8_QK_SCORES
 
 _MHSA_LOG2E = 1.4426950408889634  # log2(e): kernel softmax is exp2-domain
 # resident padding on the bf16 deterministic serving path: measured
@@ -132,6 +132,7 @@ class DinoV2Block(nn.Module):
                     ("attn_a_ctx", jnp.ones, (), jnp.float32),
                     ("attn_a_q", jnp.ones, (), jnp.float32),
                     ("attn_a_k", jnp.ones, (), jnp.float32),
+                    ("attn_a_v", jnp.ones, (), jnp.float32),
                     ("attn_wqkv_q", jnp.zeros, (d, 3 * d), jnp.int8),
                     ("attn_wqkv_scale", jnp.ones, (3 * d,), jnp.float32),
                     ("attn_wo_q", jnp.zeros, (d, d), jnp.int8),
@@ -219,17 +220,23 @@ class DinoV2Block(nn.Module):
         # directly in quantized units (and 1/a_q, 1/a_k into the q/k
         # thirds under INT8_QK_SCORES)
         col3 = jnp.arange(3 * d)
+        cs = cpv = cpl = None
         if INT8_QK_SCORES:
             a_q = qa["attn_a_q"].value
             a_k = qa["attn_a_k"].value
+            if INT8_PV:
+                a_v = qa["attn_a_v"].value
+                v_fold = 1.0 / a_v
+                cpv = a_v / (127.0 * a_ctx)
+                cpl = a_v / a_ctx
+            else:
+                v_fold = 1.0 / a_ctx
             thirds = jnp.where(col3 < d, 1.0 / a_q,
-                               jnp.where(col3 < 2 * d, 1.0 / a_k,
-                                         1.0 / a_ctx))
+                               jnp.where(col3 < 2 * d, 1.0 / a_k, v_fold))
             dh = d // self.num_heads
             cs = a_q * a_k * dh ** -0.5
         else:
             thirds = jnp.where(col3 < 2 * d, 1.0, 1.0 / a_ctx)
-            cs = None
         return (n1_scale.astype(jnp.float32) / a_x,
                 n1_bias.astype(jnp.float32) / a_x,
                 qa["attn_wqkv_q"].value,
@@ -239,7 +246,7 @@ class DinoV2Block(nn.Module):
                 a_ctx * qa["attn_wo_scale"].value,
                 attn["proj"][1].astype(jnp.float32),
                 gamma1.astype(jnp.float32),
-                cs)
+                cs, cpv, cpl)
 
     def _attention_int8(self, x, attn_args):
         """w8a8 attention projections from pre-folded static scales
@@ -248,7 +255,7 @@ class DinoV2Block(nn.Module):
         CPU/odd shapes."""
         d = self.dim
         (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
-         bo, gamma, cs) = attn_args
+         bo, gamma, cs, cpv, cpl) = attn_args
 
         if self.use_pallas and jax.default_backend() == "tpu":
             from geovpr.ops.pallas_mhsa import fused_mhsa_block_int8
@@ -257,7 +264,8 @@ class DinoV2Block(nn.Module):
                 sqkv_eff, bqkv_eff, wo_q, so_eff, bo, gamma,
                 num_heads=self.num_heads, ln_eps=LN_EPS,
                 n_valid=self.serve_n_valid or None,
-                cs=None if cs is None else cs * _MHSA_LOG2E)
+                cs=None if cs is None else cs * _MHSA_LOG2E,
+                cpv=cpv, cpl=cpl)
             if out is not None:
                 return out.astype(x.dtype)
         if self.serve_n_valid:
@@ -292,18 +300,36 @@ class DinoV2Block(nn.Module):
                           127).astype(jnp.int8)
             k8 = jnp.clip(jnp.round(qkv_f[..., d:2 * d]), -127,
                           127).astype(jnp.int8)
-            v = qkv_f[..., 2 * d:].astype(jnp.bfloat16)
             s = jnp.einsum("bhnd,bhmd->bhnm", heads(q8), heads(k8),
                            preferred_element_type=jnp.int32
                            ).astype(jnp.float32) * cs
+            if cpv is not None:
+                # int8 PV: quantize the max-shifted probabilities to
+                # 127ths, int8 x int8 context, dequant by cpv (kernel
+                # arithmetic; the fallback has no key-split so cpl's
+                # f32 last-key term does not apply)
+                v8 = jnp.clip(jnp.round(qkv_f[..., 2 * d:]), -127,
+                              127).astype(jnp.int8)
+                sm = s - jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(sm)
+                z = jnp.sum(p, axis=-1, keepdims=True)
+                pi = jnp.round(p * 127.0).astype(jnp.int8)
+                ctx = (jnp.einsum("bhnm,bhmd->bhnd", pi, heads(v8),
+                                  preferred_element_type=jnp.int32
+                                  ).astype(jnp.float32) * cpv / z)
+            else:
+                v = qkv_f[..., 2 * d:].astype(jnp.bfloat16)
+                p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+                ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v),
+                                 preferred_element_type=jnp.float32)
         else:
             qkv = qkv_f.astype(jnp.bfloat16)
             q, k, v = jnp.split(qkv, 3, axis=-1)
             s = jnp.einsum("bhnd,bhmd->bhnm", heads(q), heads(k),
                            preferred_element_type=jnp.float32) * dh ** -0.5
-        p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v),
-                         preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v),
+                             preferred_element_type=jnp.float32)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b * n, d)
         ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
         yo = jax.lax.dot_general(
@@ -334,13 +360,15 @@ class DinoV2Block(nn.Module):
         k = heads(proj(x, attn["key"]))
         v = heads(proj(x, attn["value"]))
         if self.calibrate:
-            # int8-score calibration: static amax of the post-projection
-            # q/k activations (pre head-scale — the scale rides the
-            # dequant constant, _attn_int8_fold)
+            # int8-score / int8-PV calibration: static amax of the
+            # post-projection q/k/v activations (pre head-scale — the
+            # scale rides the dequant constant, _attn_int8_fold)
             self.sow("quant_calib", "attn_q",
                      jnp.max(jnp.abs(q.astype(jnp.float32))))
             self.sow("quant_calib", "attn_k",
                      jnp.max(jnp.abs(k.astype(jnp.float32))))
+            self.sow("quant_calib", "attn_v",
+                     jnp.max(jnp.abs(v.astype(jnp.float32))))
         scores = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                             preferred_element_type=jnp.float32)
         scores = scores * (head_dim ** -0.5)

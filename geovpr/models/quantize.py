@@ -69,11 +69,14 @@ def _walk(calib: dict, params: dict, out: dict):
             float(np.max(np.asarray(calib["attn_x"]))) / 127.0 + 1e-12)
         out["attn_a_ctx"] = jnp.float32(
             float(np.max(np.asarray(calib["attn_ctx"]))) / 127.0 + 1e-12)
-        # int8-score scales (INT8_QK_SCORES): q/k post-projection amax
+        # int8-score / int8-PV scales (INT8_QK_SCORES / INT8_PV): q/k/v
+        # post-projection amax
         out["attn_a_q"] = jnp.float32(
             float(np.max(np.asarray(calib["attn_q"]))) / 127.0 + 1e-12)
         out["attn_a_k"] = jnp.float32(
             float(np.max(np.asarray(calib["attn_k"]))) / 127.0 + 1e-12)
+        out["attn_a_v"] = jnp.float32(
+            float(np.max(np.asarray(calib["attn_v"]))) / 127.0 + 1e-12)
         out["attn_wqkv_q"] = wq
         out["attn_wqkv_scale"] = sq
         out["attn_wo_q"] = woq

@@ -36,7 +36,7 @@ from geovpr.models.backbone import BackboneOutput
 from geovpr.models.dinov2 import PDense, PScaleBias, _layer_norm
 from geovpr.models.layers import DropPath, Mlp
 from geovpr.ops import window_attention
-from geovpr.ops.quant import INT8_QK_SCORES
+from geovpr.ops.quant import INT8_PV, INT8_QK_SCORES
 
 _SWIN_LOG2E = 1.4426950408889634  # log2(e): kernel softmax is exp2-domain
 
@@ -212,7 +212,7 @@ def _window_attn_apply(xw, attn, bias, mask, num_heads: int,
     k = heads(proj(xw, attn["key"]))
     v = heads(proj(xw, attn["value"]))
     if sow_qk is not None:
-        sow_qk(q, k)
+        sow_qk(q, k, v)
     out = window_attention(q, k, v, bias, mask, use_pallas=use_pallas)
     out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
     if sow_ctx is not None:
@@ -327,6 +327,7 @@ class SwinBlock(nn.Module):
                     ("attn_a_ctx", jnp.ones, (), jnp.float32),
                     ("attn_a_q", jnp.ones, (), jnp.float32),
                     ("attn_a_k", jnp.ones, (), jnp.float32),
+                    ("attn_a_v", jnp.ones, (), jnp.float32),
                     ("attn_wqkv_q", jnp.zeros, (d, 3 * d), jnp.int8),
                     ("attn_wqkv_scale", jnp.ones, (3 * d,), jnp.float32),
                     ("attn_wo_q", jnp.zeros, (d, d), jnp.int8),
@@ -396,13 +397,16 @@ class SwinBlock(nn.Module):
                     "quant_calib", "attn_ctx",
                     jnp.max(jnp.abs(t.astype(jnp.float32))))
 
-                def sow_qk(q, k):
-                    # int8-score calibration: post-projection q/k amax
-                    # (pre head-scale — it rides the dequant constant)
+                def sow_qk(q, k, v):
+                    # int8-score / int8-PV calibration: post-projection
+                    # q/k/v amax (pre head-scale — it rides the dequant
+                    # constant)
                     self.sow("quant_calib", "attn_q",
                              jnp.max(jnp.abs(q.astype(jnp.float32))))
                     self.sow("quant_calib", "attn_k",
                              jnp.max(jnp.abs(k.astype(jnp.float32))))
+                    self.sow("quant_calib", "attn_v",
+                             jnp.max(jnp.abs(v.astype(jnp.float32))))
             xw = _window_attn_apply(xw, attn, bias, mask, self.num_heads,
                                     use_pallas=pallas_ok, dtype=self.dtype,
                                     sow_ctx=sow_ctx, sow_qk=sow_qk)
@@ -428,16 +432,21 @@ class SwinBlock(nn.Module):
         # score-dequant constant cs — natural-log domain here, kernel
         # callers multiply by log2(e))
         col3 = jnp.arange(3 * d)
+        cs = cpv = None
         if INT8_QK_SCORES:
             a_q = qa["attn_a_q"].value
             a_k = qa["attn_a_k"].value
+            if INT8_PV:
+                a_v = qa["attn_a_v"].value
+                v_fold = 1.0 / a_v
+                cpv = a_v / (127.0 * a_ctx)
+            else:
+                v_fold = 1.0 / a_ctx
             thirds = jnp.where(col3 < d, 1.0 / a_q,
-                               jnp.where(col3 < 2 * d, 1.0 / a_k,
-                                         1.0 / a_ctx))
+                               jnp.where(col3 < 2 * d, 1.0 / a_k, v_fold))
             cs = a_q * a_k * (d // self.num_heads) ** -0.5
         else:
             thirds = jnp.where(col3 < 2 * d, 1.0, 1.0 / a_ctx)
-            cs = None
         return (n1_scale.astype(jnp.float32) / a_x,
                 n1_bias.astype(jnp.float32) / a_x,
                 qa["attn_wqkv_q"].value,
@@ -446,7 +455,7 @@ class SwinBlock(nn.Module):
                 qa["attn_wo_q"].value,
                 a_ctx * qa["attn_wo_scale"].value,
                 attn["proj"][1].astype(jnp.float32),
-                cs)
+                cs, cpv)
 
     def _attention_int8(self, xw, attn_args, bias, mask):
         """w8a8 attention half on pre-partitioned (BW, N, C) windows: the
@@ -456,7 +465,7 @@ class SwinBlock(nn.Module):
         Serving-only — stop_gradient'ed."""
         c = xw.shape[-1]
         (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
-         bo, cs) = attn_args
+         bo, cs, cpv) = attn_args
 
         ow = None
         if self.use_pallas and jax.default_backend() == "tpu":
@@ -465,7 +474,7 @@ class SwinBlock(nn.Module):
                 xw.astype(jnp.bfloat16), ln_scale_q, ln_bias_q, wqkv_q,
                 sqkv_eff, bqkv_eff, wo_q, so_eff, bo, bias, mask,
                 self.num_heads, LN_EPS,
-                cs=None if cs is None else cs * _SWIN_LOG2E)
+                cs=None if cs is None else cs * _SWIN_LOG2E, cpv=cpv)
             if ow is not None:
                 ow = ow.astype(xw.dtype)
         if ow is None:
@@ -497,11 +506,31 @@ class SwinBlock(nn.Module):
                               127).astype(jnp.int8)
                 k8 = jnp.clip(jnp.round(qkv_f[..., c:2 * c]), -127,
                               127).astype(jnp.int8)
-                v = qkv_f[..., 2 * c:].astype(jnp.bfloat16)
                 s = jnp.einsum("bhnd,bhmd->bhnm", heads(q8), heads(k8),
                                preferred_element_type=jnp.int32
                                ).astype(jnp.float32) * cs
-                ctx = _window_attention_from_scores(s, heads(v), bias, mask)
+                if cpv is not None:
+                    # int8 PV: bias/mask add, max-shift, quantize the
+                    # shifted probabilities to 127ths, int8 context
+                    # (kernel arithmetic)
+                    s = s + bias[None]
+                    if mask is not None:
+                        nwm = mask.shape[0]
+                        s = (s.reshape(bw // nwm, nwm, *s.shape[1:])
+                             + mask[None, :, None]).reshape(bw, *s.shape[1:])
+                    v8 = jnp.clip(jnp.round(qkv_f[..., 2 * c:]), -127,
+                                  127).astype(jnp.int8)
+                    sm = s - jnp.max(s, axis=-1, keepdims=True)
+                    p = jnp.exp(sm)
+                    z = jnp.sum(p, axis=-1, keepdims=True)
+                    pi = jnp.round(p * 127.0).astype(jnp.int8)
+                    ctx = (jnp.einsum("bhnm,bhmd->bhnd", pi, heads(v8),
+                                      preferred_element_type=jnp.int32
+                                      ).astype(jnp.float32) * cpv / z)
+                else:
+                    v = qkv_f[..., 2 * c:].astype(jnp.bfloat16)
+                    ctx = _window_attention_from_scores(s, heads(v), bias,
+                                                        mask)
             else:
                 qkv = qkv_f.astype(jnp.bfloat16)
                 q, k, v = jnp.split(qkv, 3, axis=-1)

@@ -162,7 +162,8 @@ def _stage_split_attention(qf, kv, ctx_ref, *, rows, d: int, dh: int,
 def _stage_split_attention_qk8(qi, ki, v, ctx_ref, *, rows, d: int,
                                dh: int, num_heads: int, na: int, cs,
                                quantize_out: bool = False,
-                               skip_max: bool = False):
+                               skip_max: bool = False,
+                               cpv=None, cpl=None):
     """int8-score variant of `_stage_split_attention`: q and k arrive
     REQUANTIZED to int8 (static per-tensor scales a_q/a_k folded into the
     qkv dequant by the caller), the score matmuls run int8 x int8 -> int32
@@ -174,7 +175,14 @@ def _stage_split_attention_qk8(qi, ki, v, ctx_ref, *, rows, d: int,
     max-shift back to bound p <= 1 — see docs/DESIGN.md).
 
     `v` is a separate (M, d) slab (NOT the k|v column block): with k int8
-    and v bf16 the two no longer share a dtype/layout."""
+    and v bf16 the two no longer share a dtype/layout.
+
+    `cpv`/`cpl` given = int8-PV mode: v arrives int8 in a_v units, the
+    per-row max-shift is forced back (so the shifted probabilities bound
+    at 1 and quantize to 127ths), P@V runs int8 x int8 -> int32, and
+    cpv = a_v/(127·a_ctx), cpl = a_v/a_ctx dequantize the matmul and the
+    f32 last-key term into a_ctx context units."""
+    pv8 = cpv is not None
     ss, sbs = [], []
     for h in range(num_heads):          # stage 1: int8 score matmuls
         q = qi[rows, h * dh:(h + 1) * dh]
@@ -188,21 +196,28 @@ def _stage_split_attention_qk8(qi, ki, v, ctx_ref, *, rows, d: int,
             axis=-1, keepdims=True) * cs)
     ps, pbs, zs = [], [], []
     for h in range(num_heads):          # stage 2: all softmaxes (VPU)
-        if skip_max:
+        if skip_max and not pv8:
             p = jnp.exp2(jnp.minimum(ss[h], 100.0))
             pb = jnp.exp2(jnp.minimum(sbs[h], 100.0))
         else:
             mx = jnp.maximum(jnp.max(ss[h], axis=-1, keepdims=True), sbs[h])
             p = jnp.exp2(ss[h] - mx)
             pb = jnp.exp2(sbs[h] - mx)
-        ps.append(p)
-        pbs.append(pb)
         zs.append(jnp.sum(p, axis=-1, keepdims=True) + pb)
-    for h in range(num_heads):          # stage 3: all pv matmuls (bf16)
+        ps.append(jnp.round(p * 127.0).astype(jnp.int8) if pv8 else p)
+        pbs.append(pb)
+    for h in range(num_heads):          # stage 3: all pv matmuls
         vh = v[rows, h * dh:(h + 1) * dh]
-        o = jnp.dot(ps[h].astype(vh.dtype), vh[:na],
-                    preferred_element_type=jnp.float32)
-        o = (o + pbs[h] * vh[na:na + 1].astype(jnp.float32)) / zs[h]
+        if pv8:
+            ci = jax.lax.dot(ps[h], vh[:na],
+                             preferred_element_type=jnp.int32)
+            o = (ci.astype(jnp.float32) * cpv
+                 + (pbs[h] * cpl) * vh[na:na + 1].astype(jnp.float32)
+                 ) / zs[h]
+        else:
+            o = jnp.dot(ps[h].astype(vh.dtype), vh[:na],
+                        preferred_element_type=jnp.float32)
+            o = (o + pbs[h] * vh[na:na + 1].astype(jnp.float32)) / zs[h]
         if quantize_out:
             o = jnp.clip(jnp.round(o), -127, 127)
         ctx_ref[rows, h * dh:(h + 1) * dh] = o.astype(ctx_ref.dtype)
@@ -462,7 +477,7 @@ def _mhsa_kernel_v3_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref,
                          sqkv_ref, bqkv_ref, wo_q_ref, so_ref, bo_ref,
                          gamma_ref, cs_ref, o_ref, ctx_ref,
                          *, num_heads: int, n_valid: int, bb: int,
-                         ln_eps: float, qk8: bool):
+                         ln_eps: float, qk8: bool, pv8: bool = False):
     """w8a8 serving variant of `_mhsa_kernel_v3`: the qkv and out
     projections run int8 x int8 -> int32 on the MXU (slope-measured 363.7
     vs bf16's 176.4 TOP/s at these exact shapes); the attention core stays
@@ -501,14 +516,21 @@ def _mhsa_kernel_v3_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref,
         qi = jnp.clip(jnp.round(qkv_f[:, :d]), -127, 127).astype(jnp.int8)
         ki = jnp.clip(jnp.round(qkv_f[:, d:2 * d]), -127,
                       127).astype(jnp.int8)
-        v = qkv_f[:, 2 * d:].astype(jnp.bfloat16)
+        if pv8:     # v arrives in a_v units (fold) -> int8
+            v = jnp.clip(jnp.round(qkv_f[:, 2 * d:]), -127,
+                         127).astype(jnp.int8)
+            cpv, cpl = cs_ref[1], cs_ref[2]
+        else:
+            v = qkv_f[:, 2 * d:].astype(jnp.bfloat16)
+            cpv = cpl = None
         cs = cs_ref[0]
         for e in range(bb):
             rows = slice(e * np_, (e + 1) * np_)
             _stage_split_attention_qk8(qi, ki, v, ctx_ref, rows=rows, d=d,
                                        dh=dh, num_heads=num_heads, na=na,
                                        cs=cs, quantize_out=True,
-                                       skip_max=_SKIP_MAX)
+                                       skip_max=_SKIP_MAX,
+                                       cpv=cpv, cpl=cpl)
     else:
         col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
         srow = jnp.where(col3 < d, dh ** -0.5 * _LOG2E, 1.0)
@@ -536,7 +558,9 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
                           gamma: jax.Array, num_heads: int,
                           block_batch: int = 2, ln_eps: float = 1e-6,
                           n_valid: int | None = None,
-                          cs: jax.Array | None = None) -> jax.Array | None:
+                          cs: jax.Array | None = None,
+                          cpv: jax.Array | None = None,
+                          cpl: jax.Array | None = None) -> jax.Array | None:
     """Serving-only (no VJP) w8a8 fused attention block. Arguments carry
     PRE-FOLDED static scales — see `_mhsa_kernel_v3_int8` and the fold in
     `geovpr/models/dinov2.py` (DinoV2Block). Returns None when the v3
@@ -546,6 +570,8 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
     `cs`: int8-score mode (INT8_QK_SCORES) — the scalar score-dequant
     constant a_q·a_k·head_scale·log2(e); requires sqkv_eff/bqkv_eff folded
     with the 1/a_q / 1/a_k thirds. None = bf16 score matmuls.
+    `cpv`/`cpl`: int8-PV mode on top (INT8_PV; v third folded 1/a_v):
+    cpv = a_v/(127·a_ctx), cpl = a_v/a_ctx.
 
     `n_valid`: resident-padding mode — the caller keeps the token stream
     padded to the sublane quantum across the whole serving stack (the
@@ -574,9 +600,10 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
 
     kernel = functools.partial(_mhsa_kernel_v3_int8, num_heads=num_heads,
                                n_valid=n, bb=bb, ln_eps=ln_eps,
-                               qk8=cs is not None)
-    cs_arr = (jnp.zeros((1,), jnp.float32) if cs is None
-              else jnp.reshape(cs.astype(jnp.float32), (1,)))
+                               qk8=cs is not None, pv8=cpv is not None)
+    parts = [jnp.float32(0.0) if c is None else c.astype(jnp.float32)
+             for c in (cs, cpv, cpl, None)]
+    cs_arr = jnp.stack([jnp.reshape(c, ()) for c in parts])
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -595,7 +622,7 @@ def fused_mhsa_block_int8(x: jax.Array, ln_scale_q: jax.Array,
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4,), vec, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb * np_, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

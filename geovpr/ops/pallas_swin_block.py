@@ -317,14 +317,20 @@ def _swin_attention_stages_qk8(qi, ki, v, bias_ref, mask_ref, ctx_ref,
                                *, num_heads: int, n: int, wb: int, nw: int,
                                d: int, cs, has_mask: bool,
                                quantize_out: bool = False,
-                               skip_max: bool | None = None):
+                               skip_max: bool | None = None,
+                               cpv=None):
     """int8-score variant of `_swin_attention_stages` (serving only): q/k
     arrive REQUANTIZED to int8 (static a_q/a_k folded into the qkv dequant
     by the caller, SwinBlock._attn_int8_fold), score matmuls run
     int8 x int8 -> int32 on the MXU, and `cs` = a_q·a_k·scale·log2(e)
     dequantizes the int32 scores straight into the exp2 domain where the
     (log2e-pre-scaled) rel-pos bias and shift mask add as before. v stays
-    bf16 — int8 P would need the max-shift back to bound p <= 1."""
+    bf16 unless `cpv` is given (int8-PV mode): then v arrives int8 in a_v
+    units, the per-row max-shift is forced back so the shifted
+    probabilities bound at 1 and quantize to 127ths, P@V runs
+    int8 x int8 -> int32, and cpv = a_v/(127·a_ctx) dequantizes into
+    a_ctx context units."""
+    pv8 = cpv is not None
     if skip_max is None:
         skip_max = _SKIP_MAX
     dh = d // num_heads
@@ -349,21 +355,28 @@ def _swin_attention_stages_qk8(qi, ki, v, bias_ref, mask_ref, ctx_ref,
             s = ss[i] + bias_ref[h * n:(h + 1) * n, :]
             if has_mask:
                 s = s + m_w
-            if skip_max:
+            if skip_max and not pv8:
                 p = jnp.exp2(jnp.minimum(s, 100.0))
             else:
                 p = jnp.exp2(s - jnp.max(s, axis=-1, keepdims=True))
-            ps.append((p, jnp.sum(p, axis=-1, keepdims=True)))
+            z = jnp.sum(p, axis=-1, keepdims=True)
+            if pv8:
+                p = jnp.round(p * 127.0).astype(jnp.int8)
+            ps.append((p, z))
             i += 1
     i = 0
-    for w in range(wb):                     # stage 3: all pv matmuls (bf16)
+    for w in range(wb):                     # stage 3: all pv matmuls
         rows = slice(w * n, (w + 1) * n)
         for h in range(num_heads):
             lanes = slice(h * dh, (h + 1) * dh)
             vh = v[rows, lanes]
             p, z = ps[i]
-            o = jnp.dot(p.astype(vh.dtype), vh,
-                        preferred_element_type=jnp.float32) / z
+            if pv8:
+                ci = jax.lax.dot(p, vh, preferred_element_type=jnp.int32)
+                o = ci.astype(jnp.float32) * (cpv / z)
+            else:
+                o = jnp.dot(p.astype(vh.dtype), vh,
+                            preferred_element_type=jnp.float32) / z
             if quantize_out:
                 o = jnp.clip(jnp.round(o), -127, 127)
             ctx_ref[rows, lanes] = o.astype(ctx_ref.dtype)
@@ -404,7 +417,8 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
                  bqkv_ref, wo_q_ref, so_ref, bo_ref, bias_ref, mask_ref,
                  cs_ref, o_ref, ctx_ref, *, num_heads: int, n: int,
                  wb: int, nw: int, scale: float, ln_eps: float,
-                 has_mask: bool, g: int = 1, qk8: bool = False):
+                 has_mask: bool, g: int = 1, qk8: bool = False,
+                 pv8: bool = False):
     """w8a8 serving variant: the qkv and out projections run
     int8 x int8 -> int32 on the MXU; the attention core stays bf16. Static
     activation scales arrive PRE-FOLDED by the caller (same fold as
@@ -434,11 +448,17 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
         qi = jnp.clip(jnp.round(qkv_f[:, :d]), -127, 127).astype(jnp.int8)
         ki = jnp.clip(jnp.round(qkv_f[:, d:2 * d]), -127,
                       127).astype(jnp.int8)
-        v = qkv_f[:, 2 * d:].astype(jnp.bfloat16)
+        if pv8:     # v arrives in a_v units (fold) -> int8
+            v = jnp.clip(jnp.round(qkv_f[:, 2 * d:]), -127,
+                         127).astype(jnp.int8)
+            cpv = cs_ref[1]
+        else:
+            v = qkv_f[:, 2 * d:].astype(jnp.bfloat16)
+            cpv = None
         _swin_attention_stages_qk8(qi, ki, v, bias_ref, mask_ref, ctx_ref,
                                    num_heads=num_heads, n=n, wb=wb, nw=nw,
                                    d=d, cs=cs_ref[0], has_mask=has_mask,
-                                   quantize_out=True)
+                                   quantize_out=True, cpv=cpv)
     else:
         col3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
         srow = jnp.where(col3 < d, scale * _LOG2E, 1.0)
@@ -997,7 +1017,7 @@ fused_swin_attn_block.defvjp(_fwd, _bwd)
 def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
                                bqkv_eff, wo_q, so_eff, bo, bias, mask,
                                num_heads: int, ln_eps: float = 1e-5,
-                               cs=None):
+                               cs=None, cpv=None):
     """Serving-only (no VJP) w8a8 fused Swin attention half-block.
     Arguments carry PRE-FOLDED static scales — see `_kernel_int8` and the
     fold in `geovpr/models/swin.py` (SwinBlock._attn_int8_fold). Returns
@@ -1006,7 +1026,9 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
 
     `cs`: int8-score mode (INT8_QK_SCORES) — the scalar score-dequant
     constant a_q·a_k·scale·log2(e); requires sqkv_eff/bqkv_eff folded with
-    the 1/a_q / 1/a_k thirds. None = bf16 score matmuls."""
+    the 1/a_q / 1/a_k thirds. None = bf16 score matmuls.
+    `cpv`: int8-PV mode on top (INT8_PV; v third folded 1/a_v):
+    cpv = a_v/(127·a_ctx)."""
     bw, n, c = xw.shape
     dh = c // num_heads
     scale = dh ** -0.5
@@ -1027,9 +1049,11 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
 
     kernel = functools.partial(_kernel_int8, num_heads=num_heads, n=n,
                                wb=wb, nw=nw, scale=scale, ln_eps=ln_eps,
-                               has_mask=has_mask, g=g, qk8=cs is not None)
-    cs_arr = (jnp.zeros((1,), jnp.float32) if cs is None
-              else jnp.reshape(cs.astype(jnp.float32), (1,)))
+                               has_mask=has_mask, g=g, qk8=cs is not None,
+                               pv8=cpv is not None)
+    parts = [jnp.float32(0.0) if c is None else c.astype(jnp.float32)
+             for c in (cs, cpv, None, None)]
+    cs_arr = jnp.stack([jnp.reshape(c, ()) for c in parts])
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -1050,7 +1074,7 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
             pl.BlockSpec(bias_f.shape, whole, memory_space=pltpu.VMEM),
             pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1,), vec, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4,), vec, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((wb * n, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -32,6 +32,11 @@ import numpy as np
 # folds AND the Pallas kernels so both sides of the contract switch
 # together. Env opt-out for A/B measurement.
 INT8_QK_SCORES = os.environ.get("GEOVPR_INT8_QK", "1") != "0"
+# int8 PV matmuls on top (requires INT8_QK_SCORES): re-adds the per-row
+# max-shift so P <= 1, quantizes P to 127ths and v to a_v units, and runs
+# P@V int8 x int8 -> int32. Experimental knob — default follows the
+# measured A/B verdict.
+INT8_PV = (os.environ.get("GEOVPR_INT8_PV", "0") == "1") and INT8_QK_SCORES
 
 
 def quantize_weight(w) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -522,6 +522,81 @@ class TestFusedMhsaInt8:
         step = np.asarray(so_eff) * np.asarray(gamma)
         assert err.max() <= np.abs(step).max() * 1.5 + 1e-3, err.max()
 
+    def test_pv8_kernel_matches_reference(self, monkeypatch):
+        """int8-PV mode (cpv/cpl given): max-shifted probabilities
+        quantized to 127ths, int8 P@V, key-split last key kept f32 via
+        cpl. Reference mirrors the kernel's key-split arithmetic
+        exactly; requantize + int32 matmuls are bit-exact, softmax
+        rounding differs."""
+        import geovpr.ops.pallas_mhsa as m
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                m.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        B, N, D, H = 2, 129, 16, 4
+        dh = D // H
+        na = N - 1
+        rng = np.random.default_rng(29)
+        x = jnp.asarray(rng.normal(size=(B, N, D)) * 0.5, jnp.float32)
+        args = list(self._case(rng, D))
+        # q/k thirds in a healthy int8 range; v third in a_v units
+        args[3] = args[3] * jnp.where(jnp.arange(3 * D) < 2 * D, 0.05, 1.0)
+        cs = jnp.float32(0.9 * dh ** -0.5)
+        a_v_over_actx = jnp.float32(1.7)
+        cpv = a_v_over_actx / 127.0
+        cpl = a_v_over_actx
+        got = m.fused_mhsa_block_int8(x, *args, num_heads=H,
+                                      cs=cs * m._LOG2E, cpv=cpv, cpl=cpl)
+        assert got is not None
+
+        (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
+         bo, gamma) = args
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+        xq = jnp.clip(jnp.round(normed * ln_scale_q + ln_bias_q),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.dot_general(
+            xq.reshape(-1, D), wqkv_q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        qkv_f = (yi.astype(jnp.float32) * sqkv_eff
+                 + bqkv_eff).reshape(B, N, 3 * D)
+
+        def heads(t):
+            return t.reshape(B, N, H, dh).transpose(0, 2, 1, 3)
+
+        q8 = jnp.clip(jnp.round(qkv_f[..., :D]), -127, 127).astype(jnp.int8)
+        k8 = jnp.clip(jnp.round(qkv_f[..., D:2 * D]), -127,
+                      127).astype(jnp.int8)
+        v8 = jnp.clip(jnp.round(qkv_f[..., 2 * D:]), -127,
+                      127).astype(jnp.int8)
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q8), heads(k8),
+                       preferred_element_type=jnp.int32
+                       ).astype(jnp.float32) * cs
+        sm = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(sm)
+        z = jnp.sum(p, axis=-1, keepdims=True)
+        v8h = heads(v8)
+        pi = jnp.round(p[..., :na] * 127.0).astype(jnp.int8)
+        ctx = (jnp.einsum("bhnm,bhmd->bhnd", pi, v8h[:, :, :na],
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.float32) * cpv
+               + p[..., na:] * v8h[:, :, na:na + 1].astype(jnp.float32)
+               * cpl) / z
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B * N, D)
+        ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
+        yo = jax.lax.dot_general(ctxq, wo_q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        out = yo.astype(jnp.float32) * so_eff + bo
+        want = (out.reshape(B, N, D) * gamma + xf).astype(x.dtype)
+        err = np.abs(np.asarray(got) - np.asarray(want))
+        step = np.asarray(so_eff) * np.asarray(gamma)
+        assert err.max() <= np.abs(step).max() * 1.5 + 1e-3, err.max()
+
     @pytest.mark.parametrize("n_valid", [129])
     def test_resident_padded_matches_unpadded(self, monkeypatch, n_valid):
         """Resident-padding mode (n_valid) must agree with the self-padding
@@ -766,6 +841,75 @@ class TestFusedSwinAttnBlock:
                  + mask[None, :, None]).reshape(bw, h, n, n)
         p = jax.nn.softmax(s, axis=-1)
         ctx = jnp.einsum("bhnm,bhmd->bhnd", p, heads(v))
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(bw * n, c)
+        ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
+        yo = jax.lax.dot_general(ctxq, wo_q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        want = (yo.astype(jnp.float32) * args[6] + bo).reshape(bw, n, c) + xf
+        scale = float(jnp.max(jnp.abs(want)))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0.02 * scale, rtol=0.02)
+
+    @pytest.mark.parametrize("with_mask", [True, False])
+    def test_int8_pv8_kernel_matches_xla(self, monkeypatch, with_mask):
+        """int8-PV mode on the Swin serving kernel (cpv given): the
+        max-shifted probabilities quantize to 127ths and P@V runs int8;
+        vs the identical-arithmetic XLA fallback branch in
+        SwinBlock._attention_int8."""
+        from geovpr.ops.quant import quantize_weight
+        m = self._patch(monkeypatch)
+        bw, n, c, h, nw = 8, 16, 128, 2, 4
+        xw, ln_s, ln_b, wqkv, bqkv, wo, bo, bias, mask = self._mk(
+            bw, n, c, h, nw, with_mask)
+        dh = c // h
+        a_x, a_ctx, a_q, a_k, a_v = 0.11, 0.07, 0.05, 0.06, 0.09
+        wqkv_q, sqkv = quantize_weight(wqkv)
+        wo_q, so = quantize_weight(wo)
+        col3 = jnp.arange(3 * c)
+        thirds = jnp.where(col3 < c, 1.0 / a_q,
+                           jnp.where(col3 < 2 * c, 1.0 / a_k, 1.0 / a_v))
+        cs = jnp.float32(a_q * a_k * dh ** -0.5)
+        cpv = jnp.float32(a_v / (127.0 * a_ctx))
+        args = (ln_s / a_x, ln_b / a_x, wqkv_q, a_x * sqkv * thirds,
+                bqkv * thirds, wo_q, a_ctx * so, bo)
+        got = m.fused_swin_attn_block_int8(xw, *args, bias, mask, h, 1e-5,
+                                           cs=cs * m._LOG2E, cpv=cpv)
+        assert got is not None
+
+        xf = xw.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        xq = jnp.clip(jnp.round(normed * args[0] + args[1]),
+                      -127, 127).astype(jnp.int8)
+        yi = jax.lax.dot_general(xq.reshape(-1, c), wqkv_q,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        qkv_f = (yi.astype(jnp.float32) * args[3]
+                 + args[4]).reshape(bw, n, 3 * c)
+
+        def heads(t):
+            return t.reshape(bw, n, h, dh).transpose(0, 2, 1, 3)
+
+        q8 = jnp.clip(jnp.round(qkv_f[..., :c]), -127, 127).astype(jnp.int8)
+        k8 = jnp.clip(jnp.round(qkv_f[..., c:2 * c]), -127,
+                      127).astype(jnp.int8)
+        v8 = jnp.clip(jnp.round(qkv_f[..., 2 * c:]), -127,
+                      127).astype(jnp.int8)
+        s = jnp.einsum("bhnd,bhmd->bhnm", heads(q8), heads(k8),
+                       preferred_element_type=jnp.int32
+                       ).astype(jnp.float32) * cs
+        s = s + bias[None]
+        if with_mask:
+            s = (s.reshape(bw // nw, nw, h, n, n)
+                 + mask[None, :, None]).reshape(bw, h, n, n)
+        sm = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(sm)
+        z = jnp.sum(p, axis=-1, keepdims=True)
+        pi = jnp.round(p * 127.0).astype(jnp.int8)
+        ctx = (jnp.einsum("bhnm,bhmd->bhnd", pi, heads(v8),
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.float32) * cpv / z)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(bw * n, c)
         ctxq = jnp.clip(jnp.round(ctx), -127, 127).astype(jnp.int8)
         yo = jax.lax.dot_general(ctxq, wo_q, (((1,), (0,)), ((), ())),
