@@ -399,6 +399,84 @@ def bench_swin_eval(args):
           f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
 
 
+def bench_convnext_eval(args):
+    """--convnext-eval: ConvNeXt-B-224 backbone forward throughput — the
+    reference's direct-angle family
+    (`angle_prediction/convnext/convnext_finetuning.py:55-64`). Default
+    configuration is w8a8 channel MLPs via the fused LN->int8 MLP->
+    LayerScale->+residual kernel with ConvNeXt's separate pre-dwconv
+    residual stream (~96% of the model's FLOPs quantized; dwconvs and
+    stem/downsample convs stay bf16 XLA). Prints int8-vs-bf16 pooled
+    fidelity every run; --bf16 opts out."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from geovpr.models.convnext import ConvNeXt, CONVNEXT_VARIANTS
+
+    int8 = not args.bf16
+    if args.smoke:
+        model = ConvNeXt(depths=(1, 1), dims=(128, 256), int8_mlp=int8,
+                         dtype=jnp.bfloat16)
+        batch, iters, size = args.batch or 4, 2, 64
+    else:
+        model = ConvNeXt(**CONVNEXT_VARIANTS["base-224"], int8_mlp=int8,
+                         dtype=jnp.bfloat16)
+        batch, iters, size = args.batch or 256, args.iters, 224
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, size, size, 3)))
+    if int8:
+        from geovpr.models.quantize import quantize_for_serving
+
+        calib = jax.random.normal(jax.random.PRNGKey(2),
+                                  (min(batch, 16), size, size, 3),
+                                  jnp.bfloat16)
+        variables = quantize_for_serving(model, variables, [calib])
+        bf16_model = model.clone(int8_mlp=False)
+        d_bf = np.asarray(jax.jit(
+            lambda v, x: bf16_model.apply(v, x).pooled)(variables, calib),
+            np.float32)
+        d_q = np.asarray(jax.jit(
+            lambda v, x: model.apply(v, x).pooled)(variables, calib),
+            np.float32)
+        cos = (d_bf * d_q).sum(-1) / (
+            np.linalg.norm(d_bf, axis=-1) * np.linalg.norm(d_q, axis=-1))
+        print(f"# int8 convnext fidelity vs bf16: cosine "
+              f"min={cos.min():.5f} mean={cos.mean():.5f}", file=sys.stderr)
+
+    @jax.jit
+    def run(v, images):
+        def body(imgs, _):
+            out = model.apply(v, imgs).pooled
+            imgs = imgs + (out.mean() * 1e-24).astype(imgs.dtype)
+            return imgs, out[0, 0]
+        _, probes = jax.lax.scan(body, images, None, length=iters)
+        return probes
+
+    images = jax.random.normal(jax.random.PRNGKey(1),
+                               (batch, size, size, 3), jnp.bfloat16)
+    jax.device_get(run(variables, images))
+    reps = 2 if args.smoke else 3
+    times = []
+    for r in range(reps):
+        im = images * (1.0 + 0.03 * r)
+        im.block_until_ready()
+        t0 = time.perf_counter()
+        jax.device_get(run(variables, im))
+        times.append((time.perf_counter() - t0) / iters)
+    best = min(times)
+    img_per_sec = batch / best
+    print(json.dumps({
+        "metric": "convnext_b224_eval_throughput" + ("_int8" if int8 else ""),
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / 5000.0, 4),
+    }))
+    print(f"# backend={jax.default_backend()} batch={batch} "
+          f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
+
+
 def bench_swin_train(args):
     """--swin-train: Swin-B-384 fine-tune step throughput — Huber + AdamW
     + MLP head + stochastic depth, donated state (the reference's best
@@ -592,6 +670,10 @@ def main():
                         help="benchmark the Swin-B-384 serving forward "
                              "(fused Pallas attention + w8a8 unless "
                              "--bf16)")
+    parser.add_argument("--convnext-eval", action="store_true",
+                        help="benchmark the ConvNeXt-B-224 serving forward "
+                             "(w8a8 channel MLPs via the fused kernel "
+                             "unless --bf16)")
     parser.add_argument("--swin-train", action="store_true",
                         help="benchmark the Swin-B-384 fine-tune step "
                              "(Huber + AdamW, stored-p structured Pallas "
@@ -632,6 +714,9 @@ def main():
         return
     if args.swin_train:
         bench_swin_train(args)
+        return
+    if args.convnext_eval:
+        bench_convnext_eval(args)
         return
     if args.train:
         bench_train_step(args)

@@ -80,7 +80,7 @@ def main(argv=None):
         if not supports_int8(cfg.model.family):
             raise SystemExit(
                 f"--int8: family {cfg.model.family!r} has no int8 serving "
-                "path (supported: swin, dinov2, dinov2_salad)")
+                "path (supported: swin, dinov2, dinov2_salad, convnext)")
         trainer.enable_int8_serving(val_source)
 
     metrics, preds = trainer.evaluate_and_predict(val_source)

@@ -114,7 +114,7 @@ def main(argv=None):
     def _maybe_int8(trainer, cfg, component: str):
         """w8a8-quantize a restored component for serving (calibrating on
         the first test batch at the component's eval geometry); bf16
-        passthrough for conv families, which have no int8 path."""
+        passthrough for EfficientNet, which has no int8 path."""
         model = trainer.model
         variables = _trainer_variables(trainer)
         if not args.int8:

@@ -185,10 +185,12 @@ def convert_convnext_hf(state_dict: Mapping[str, Any], depths) -> dict:
             tb.p(f"{f}/dwconv/kernel", _conv(_np(sd[f"{t}.dwconv.weight"])))
             tb.p(f"{f}/dwconv/bias", sd[f"{t}.dwconv.bias"])
             ln(f"{f}/norm", f"{t}.layernorm")
-            tb.p(f"{f}/pwconv1/kernel", _linear(_np(sd[f"{t}.pwconv1.weight"])))
-            tb.p(f"{f}/pwconv1/bias", sd[f"{t}.pwconv1.bias"])
-            tb.p(f"{f}/pwconv2/kernel", _linear(_np(sd[f"{t}.pwconv2.weight"])))
-            tb.p(f"{f}/pwconv2/bias", sd[f"{t}.pwconv2.bias"])
+            # HF's pwconv1/pwconv2 land in the shared Mlp module (fc1/fc2)
+            # so ConvNeXt rides the same w8a8 serving stack as the ViTs
+            tb.p(f"{f}/mlp/fc1/kernel", _linear(_np(sd[f"{t}.pwconv1.weight"])))
+            tb.p(f"{f}/mlp/fc1/bias", sd[f"{t}.pwconv1.bias"])
+            tb.p(f"{f}/mlp/fc2/kernel", _linear(_np(sd[f"{t}.pwconv2.weight"])))
+            tb.p(f"{f}/mlp/fc2/bias", sd[f"{t}.pwconv2.bias"])
             tb.p(f"{f}/gamma", sd[f"{t}.layer_scale_parameter"])
 
     ln("pool_norm", "layernorm")

@@ -92,6 +92,11 @@ class Mlp(nn.Module):
       kernel on TPU (geovpr/ops/pallas_mlp.py — keeps the (M, 4D) hidden
       activations in VMEM instead of an ~808 MB/layer HBM round trip), or
       as arithmetic-identical XLA ops elsewhere.
+    - ``fused_residual`` (fused only): a distinct residual stream for
+      blocks where the skip connection bypasses more than the MLP half —
+      ConvNeXt adds the PRE-dwconv stream around dwconv+LN+MLP
+      (models/convnext.py). Default None keeps ``x`` as the residual
+      (the transformer-block case, no extra stream read in the kernel).
     """
 
     hidden_dim: int
@@ -104,7 +109,7 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True,
-                 fused=None) -> jax.Array:
+                 fused=None, fused_residual=None) -> jax.Array:
         out_dim = self.out_dim or x.shape[-1]
         in_dim = x.shape[-1]
         if self.int8:
@@ -150,9 +155,10 @@ class Mlp(nn.Module):
                             a_mid * q["fc2_kernel_scale"].value,
                             q["fc2_bias"].value,
                             gamma.astype(jnp.float32), 1.0 / a_mid,
-                            ln_eps=eps)
+                            ln_eps=eps, residual=fused_residual)
                     # XLA fallback: same arithmetic, unfused
-                    residual = x
+                    residual = x if fused_residual is None \
+                        else fused_residual
                     xf = x.astype(jnp.float32)
                     mu = jnp.mean(xf, axis=-1, keepdims=True)
                     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)

@@ -9,9 +9,12 @@ from geovpr.core.config import ModelConfig
 
 def supports_int8(family: str) -> bool:
     """Families with a w8a8 serving path (quantized MLPs; attention
-    projections too for the ViTs). Conv-only families (EfficientNet,
-    ConvNeXt) have no quantized path."""
-    return family in ("swin", "dinov2", "dinov2_salad")
+    projections too for the ViTs). ConvNeXt quantizes its channel MLPs —
+    ~96% of its FLOPs — via the same fused kernel (models/convnext.py).
+    EfficientNet has no quantized path: it is bandwidth-bound at ~5% MFU
+    (docs/DESIGN.md "Conv families") and BN-based, so cheaper matmul math
+    buys nothing."""
+    return family in ("swin", "dinov2", "dinov2_salad", "convnext")
 
 
 def build_backbone(cfg: ModelConfig, dtype=jnp.float32, *,
@@ -20,7 +23,7 @@ def build_backbone(cfg: ModelConfig, dtype=jnp.float32, *,
     if (int8 or calibrate) and not supports_int8(family):
         raise ValueError(
             f"family {family!r} has no int8 serving path "
-            "(supported: swin, dinov2, dinov2_salad)")
+            "(supported: swin, dinov2, dinov2_salad, convnext)")
     if family == "efficientnet":
         from geovpr.models.efficientnet import EfficientNetB0
         if cfg.variant not in ("b0",):
@@ -62,5 +65,6 @@ def build_backbone(cfg: ModelConfig, dtype=jnp.float32, *,
         from geovpr.models.convnext import ConvNeXt, CONVNEXT_VARIANTS
         if cfg.variant not in CONVNEXT_VARIANTS:
             raise ValueError(f"unknown convnext variant {cfg.variant!r}")
-        return ConvNeXt(**CONVNEXT_VARIANTS[cfg.variant], dtype=dtype)
+        return ConvNeXt(**CONVNEXT_VARIANTS[cfg.variant], dtype=dtype,
+                        int8_mlp=int8, calibrate=calibrate)
     raise ValueError(f"unknown model family {family!r}")

@@ -35,9 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 _ROW_BLOCK = 512
 
 
-def _mlp_int8_kernel(inv_a_mid_ref, x_ref, ln_scale_ref, ln_bias_ref,
-                     w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
-                     gamma_ref, o_ref, *, ln_eps: float):
+def _mlp_int8_core(inv_a_mid_ref, x_ref, ln_scale_ref, ln_bias_ref,
+                   w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
+                   gamma_ref, ln_eps: float):
+    """LN -> int8 MLP -> LayerScale; returns (x_f32, scaled MLP out f32)."""
     x_raw = x_ref[:]
     xf = x_raw.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -58,8 +59,33 @@ def _mlp_int8_kernel(inv_a_mid_ref, x_ref, ln_scale_ref, ln_bias_ref,
 
     y = jax.lax.dot(gq, w2q_ref[:], preferred_element_type=jnp.int32)
     y = y.astype(jnp.float32) * s2_ref[:] + b2_ref[:]
-    out = y * gamma_ref[:].astype(jnp.float32) + xf
-    o_ref[:] = out.astype(o_ref.dtype)
+    return xf, y * gamma_ref[:].astype(jnp.float32)
+
+
+def _mlp_int8_kernel(inv_a_mid_ref, x_ref, ln_scale_ref, ln_bias_ref,
+                     w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
+                     gamma_ref, o_ref, *, ln_eps: float):
+    xf, y = _mlp_int8_core(inv_a_mid_ref, x_ref, ln_scale_ref, ln_bias_ref,
+                           w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
+                           gamma_ref, ln_eps)
+    o_ref[:] = (y + xf).astype(o_ref.dtype)
+
+
+def _mlp_int8_res_kernel(inv_a_mid_ref, x_ref, res_ref, ln_scale_ref,
+                         ln_bias_ref, w1q_ref, s1_ref, b1_ref, w2q_ref,
+                         s2_ref, b2_ref, gamma_ref, o_ref, *,
+                         ln_eps: float):
+    """Separate-residual variant: out = res + gamma * MLP(LN(x)).
+
+    ConvNeXt's block shape (reference convnext_finetuning.py:55-64 via HF
+    ConvNextLayer): the channel MLP's input is the dwconv OUTPUT while the
+    residual is the pre-dwconv stream, so unlike the transformer blocks the
+    residual is a distinct (R, D) operand. Costs one extra stream read per
+    block — the bf16 XLA path pays the same read for its `x +` add."""
+    _, y = _mlp_int8_core(inv_a_mid_ref, x_ref, ln_scale_ref, ln_bias_ref,
+                          w1q_ref, s1_ref, b1_ref, w2q_ref, s2_ref, b2_ref,
+                          gamma_ref, ln_eps)
+    o_ref[:] = (y + res_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def fused_mlp_block_int8(x: jax.Array, ln_scale_q: jax.Array,
@@ -67,9 +93,12 @@ def fused_mlp_block_int8(x: jax.Array, ln_scale_q: jax.Array,
                          s1_eff: jax.Array, b1: jax.Array, w2q: jax.Array,
                          s2_eff: jax.Array, b2: jax.Array,
                          gamma: jax.Array, inv_a_mid: jax.Array,
-                         ln_eps: float = 1e-6) -> jax.Array:
-    """out = x + gamma * MLP_int8(LN(x)); x: (..., D), any leading shape
-    (flattened to rows internally). Serving-only — no VJP."""
+                         ln_eps: float = 1e-6,
+                         residual: jax.Array | None = None) -> jax.Array:
+    """out = residual + gamma * MLP_int8(LN(x)); x: (..., D), any leading
+    shape (flattened to rows internally). residual=None means x itself
+    (the transformer-block case — no extra stream read). Serving-only —
+    no VJP."""
     lead = x.shape[:-1]
     d = x.shape[-1]
     hidden = w1q.shape[1]
@@ -77,7 +106,16 @@ def fused_mlp_block_int8(x: jax.Array, ln_scale_q: jax.Array,
     m = xf.shape[0]
     grid = -(-m // _ROW_BLOCK)
 
-    kernel = functools.partial(_mlp_int8_kernel, ln_eps=ln_eps)
+    row_spec = pl.BlockSpec((_ROW_BLOCK, d), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    res_args, res_specs = (), ()
+    if residual is not None:
+        assert residual.shape == x.shape, (residual.shape, x.shape)
+        kernel = functools.partial(_mlp_int8_res_kernel, ln_eps=ln_eps)
+        res_args = (residual.reshape(-1, d),)
+        res_specs = (row_spec,)
+    else:
+        kernel = functools.partial(_mlp_int8_kernel, ln_eps=ln_eps)
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     out = pl.pallas_call(
@@ -86,8 +124,8 @@ def fused_mlp_block_int8(x: jax.Array, ln_scale_q: jax.Array,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_ROW_BLOCK, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            row_spec,
+            *res_specs,
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, hidden), whole, memory_space=pltpu.VMEM),
@@ -98,8 +136,7 @@ def fused_mlp_block_int8(x: jax.Array, ln_scale_q: jax.Array,
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((d,), vec, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_ROW_BLOCK, d), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=row_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             # the ~16 MB default scope sits within 600 KB of this kernel's
@@ -110,9 +147,10 @@ def fused_mlp_block_int8(x: jax.Array, ln_scale_q: jax.Array,
             vmem_limit_bytes=28 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * m * d * hidden,
-            bytes_accessed=2 * m * d * x.dtype.itemsize + 2 * d * hidden,
+            bytes_accessed=((3 if residual is not None else 2)
+                            * m * d * x.dtype.itemsize + 2 * d * hidden),
             transcendentals=m * hidden),
-    )(jnp.reshape(inv_a_mid.astype(jnp.float32), (1,)), xf, ln_scale_q,
-      ln_bias_q, w1q, s1_eff, b1, w2q, s2_eff, b2, gamma)
+    )(jnp.reshape(inv_a_mid.astype(jnp.float32), (1,)), xf, *res_args,
+      ln_scale_q, ln_bias_q, w1q, s1_eff, b1, w2q, s2_eff, b2, gamma)
     return jax.lax.stop_gradient(out.reshape(*lead, d))
 

@@ -23,9 +23,9 @@ from typing import Any
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-COLUMN_PARALLEL = ("fc1", "query", "key", "value", "expand", "pwconv1",
+COLUMN_PARALLEL = ("fc1", "query", "key", "value", "expand",
                    "feat_fc1", "score_fc1", "token_fc1", "hidden0")
-ROW_PARALLEL = ("fc2", "proj", "pwconv2", "feat_fc2", "score_fc2",
+ROW_PARALLEL = ("fc2", "proj", "feat_fc2", "score_fc2",
                 "token_fc2")
 
 

@@ -417,7 +417,7 @@ class Trainer:
         jitted eval step around an int8 model clone. Training state and
         checkpoints are untouched (the quant collection is derived, see
         geovpr/models/quantize.py). Raises for families without an int8
-        path (EfficientNet/ConvNeXt — registry.supports_int8)."""
+        path (EfficientNet — registry.supports_int8)."""
         from geovpr.models.quantize import quantize_for_serving
 
         batch = next(iter(iterate_batches(source, self.data_cfg.batch_size)))

@@ -87,6 +87,28 @@ class TestConvNextParity:
         np.testing.assert_allclose(np.asarray(out.tokens), tok_ref.numpy(),
                                    atol=5e-5, rtol=1e-4)
 
+    def test_grads_flow_and_finite(self):
+        """Training path sanity after the channel MLPs moved into the
+        shared Mlp module: every param (dwconv, mlp/fc1, mlp/fc2, gamma,
+        norm) gets a finite nonzero gradient."""
+        model = ConvNeXt(depths=(1, 1), dims=(16, 32), drop_path_rate=0.1)
+        rng = np.random.default_rng(4)
+        x = jnp.array(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            out = model.apply({"params": params}, x, deterministic=False,
+                              rngs={"dropout": jax.random.PRNGKey(1)})
+            return jnp.sum(out.pooled ** 2)
+
+        grads = jax.grad(loss)(variables["params"])
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+        assert any("mlp" in jax.tree_util.keystr(p) for p, _ in flat)
+        for path, g in flat:
+            a = np.asarray(g)
+            assert np.isfinite(a).all(), jax.tree_util.keystr(path)
+            assert np.abs(a).max() > 0, jax.tree_util.keystr(path)
+
 
 class TestSinkhorn:
     def test_marginals(self):

@@ -972,3 +972,63 @@ class TestFusedSwinAttnBlock:
             # matches the MHSA key-split grad test above
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestFusedMlpInt8Kernel:
+    """fused_mlp_block_int8 vs a jnp replica of its exact arithmetic —
+    interpreter mode on CPU (on-chip fidelity is asserted by bench.py's
+    cosine print). Covers both residual modes: the transformer default
+    (residual == kernel input) and ConvNeXt's separate pre-dwconv stream."""
+
+    def _mk(self, monkeypatch, m_rows=20, d=16, hidden=32):
+        import geovpr.ops.pallas_mlp as pm
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                pm.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        rng = np.random.default_rng(7)
+        x = jnp.array(rng.normal(size=(m_rows, d)).astype(np.float32))
+        res = jnp.array(rng.normal(size=(m_rows, d)).astype(np.float32))
+        ln_scale_q = jnp.array((rng.normal(size=d) * 0.1 + 8).astype(np.float32))
+        ln_bias_q = jnp.array((rng.normal(size=d) * 0.5).astype(np.float32))
+        w1q = jnp.array(rng.integers(-127, 128, size=(d, hidden)), jnp.int8)
+        s1 = jnp.array((rng.uniform(0.5, 1.5, hidden) * 1e-2).astype(np.float32))
+        b1 = jnp.array((rng.normal(size=hidden) * 0.1).astype(np.float32))
+        w2q = jnp.array(rng.integers(-127, 128, size=(hidden, d)), jnp.int8)
+        s2 = jnp.array((rng.uniform(0.5, 1.5, d) * 1e-2).astype(np.float32))
+        b2 = jnp.array((rng.normal(size=d) * 0.1).astype(np.float32))
+        gamma = jnp.array((rng.normal(size=d) * 0.5).astype(np.float32))
+        inv_a_mid = jnp.float32(37.0)
+        return pm, (x, ln_scale_q, ln_bias_q, w1q, s1, b1, w2q, s2, b2,
+                    gamma, inv_a_mid), res
+
+    @staticmethod
+    def _oracle(x, ln_scale_q, ln_bias_q, w1q, s1, b1, w2q, s2, b2, gamma,
+                inv_a_mid, residual, ln_eps=1e-6):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        normed = (xf - mu) * jax.lax.rsqrt(var + ln_eps)
+        xq = jnp.clip(jnp.round(normed * ln_scale_q + ln_bias_q), -127, 127)
+        h = (xq @ w1q.astype(jnp.float32)) * s1 + b1
+        g = 0.5 * h * (1.0 + jnp.tanh(0.7978845608028654
+                                      * (h + 0.044715 * h ** 3)))
+        gq = jnp.clip(jnp.round(g * inv_a_mid), -127, 127)
+        y = (gq @ w2q.astype(jnp.float32)) * s2 + b2
+        return y * gamma + residual.astype(jnp.float32)
+
+    def test_self_residual(self, monkeypatch):
+        pm, args, _ = self._mk(monkeypatch)
+        got = pm.fused_mlp_block_int8(*args)
+        want = self._oracle(*args, residual=args[0])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_separate_residual(self, monkeypatch):
+        pm, args, res = self._mk(monkeypatch)
+        got = pm.fused_mlp_block_int8(*args, residual=res)
+        want = self._oracle(*args, residual=res)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)

@@ -167,6 +167,44 @@ class TestDinoV2SaladInt8:
                 {"params": variables["params"]}, x).pooled, np.float32)
         assert np.abs(got - want).max() <= 0.05 * (np.abs(want).max() + 1e-6)
 
+    def test_convnext_int8_forward_close(self, rng):
+        """ConvNeXt's channel MLPs ride the same w8a8 stack (the block's
+        residual is the PRE-dwconv stream — the fused_residual path)."""
+        from geovpr.models.convnext import ConvNeXt
+
+        model = ConvNeXt(depths=(1, 1), dims=(16, 32), int8_mlp=True)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 3)).astype(np.float32))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        variables = quantize_for_serving(
+            model, {"params": variables["params"]}, [x])
+        q = variables["quant"]["stage0_block0"]["mlp"]
+        assert q["fc1_kernel_q"].dtype == jnp.int8
+        assert q["fc1_kernel_q"].shape == (16, 64)
+        got = np.asarray(model.apply(variables, x).pooled, np.float32)
+        want = np.asarray(
+            model.clone(int8_mlp=False).apply(
+                {"params": variables["params"]}, x).pooled, np.float32)
+        assert np.abs(got - want).max() <= 0.05 * (np.abs(want).max() + 1e-6)
+
+    def test_mlp_fused_residual_xla_fallback(self, rng):
+        """fused_residual must add the GIVEN stream, not the kernel input
+        (the XLA fallback path that CPU serving runs)."""
+        model = Mlp(hidden_dim=32, out_dim=16, int8=True)
+        x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+        res = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        variables = quantize_for_serving(
+            model, {"params": variables["params"]}, [x])
+        ln_scale = jnp.ones((16,), jnp.float32)
+        ln_bias = jnp.zeros((16,), jnp.float32)
+        gamma = jnp.full((16,), 0.5, jnp.float32)
+        fused = (ln_scale, ln_bias, gamma, 1e-6)
+        base = np.asarray(model.apply(variables, x, fused=fused))
+        got = np.asarray(model.apply(variables, x, fused=fused,
+                                     fused_residual=res))
+        np.testing.assert_allclose(got, base - np.asarray(x) + np.asarray(res),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_missing_calibration_raises(self):
         model = DinoV2Salad(variant="small-14", image_size=28,
                             num_clusters=8, cluster_dim=16, token_dim=16)
