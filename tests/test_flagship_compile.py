@@ -62,3 +62,44 @@ def test_swin_b384_train_step_compiles_on_8dev_mesh():
     compiled = jax.jit(step, donate_argnums=(0,)).lower(
         abs_state, abs_batch).compile()
     assert compiled is not None
+
+
+@pytest.mark.slow
+def test_convnext_b224_train_step_compiles_on_8dev_mesh():
+    """Same guard for the ConvNeXt angle recipe (convnext_finetuning.py):
+    its channel MLPs now live in the shared Mlp module, so the Megatron
+    fc1/fc2 TP splits apply to a conv backbone for the first time — and
+    the dwconv/stem/downsample kernels must come out replicated (their
+    channel dims collide with the 2-way model axis only at full width)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = create_mesh((4, 2), ("data", "model"))
+    cfg = build_preset("convnext_direct_maae")
+    model = RegressionModel(config=cfg.model)
+    tx = build_optimizer(cfg.optim, None, 10)
+
+    def _make_state():
+        return create_train_state(model, tx, jax.random.PRNGKey(0),
+                                  jnp.zeros((1, 224, 224, 3)), out_dim=1)
+
+    abs_state = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: (jax.ShapeDtypeStruct(
+            leaf.shape, leaf.dtype,
+            sharding=NamedSharding(mesh, _guarded_spec(path, leaf, mesh,
+                                                       "model")))
+            if hasattr(leaf, "shape") else leaf),
+        jax.eval_shape(_make_state))
+    sb = 8
+    abs_batch = {
+        "image": jax.ShapeDtypeStruct(
+            (sb, 224, 224, 3), jnp.uint8,
+            sharding=NamedSharding(mesh, P("data", None, None, None))),
+        "target": jax.ShapeDtypeStruct(
+            (sb, 1), jnp.float32, sharding=NamedSharding(mesh, P("data"))),
+        "mask": jax.ShapeDtypeStruct(
+            (sb,), jnp.bool_, sharding=NamedSharding(mesh, P("data"))),
+    }
+    step = make_train_step(objective_for(cfg), normalize_fn=normalize)
+    compiled = jax.jit(step, donate_argnums=(0,)).lower(
+        abs_state, abs_batch).compile()
+    assert compiled is not None
