@@ -20,3 +20,23 @@ PyTorch research scripts), re-architected as one coherent TPU-first stack:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache, opt-in via GEOVPR_COMPILE_CACHE=<dir>.
+# Every serving CLI (evaluate/retrieve/fuse) and library consumer pays a
+# 20-40 s XLA compile per fresh process for the flagship programs; with the
+# cache the second process loads the serialized executable in well under a
+# second (verified through the remote-TPU tunnel, where PJRT compilation is
+# client-initiated and the cache therefore works unchanged). Env-gated here
+# in the package root so one knob covers every entry point; unset means
+# zero overhead and stock JAX behavior. JAX's own thresholds
+# (jax_persistent_cache_min_compile_time_secs = 1.0) keep trivial programs
+# out of the cache.
+if _os.environ.get("GEOVPR_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.abspath(_os.path.expanduser(
+            _os.environ["GEOVPR_COMPILE_CACHE"])))
