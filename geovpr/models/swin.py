@@ -150,7 +150,8 @@ def repartition(xw: jax.Array, window: int, h: int, w: int,
     nw = (h // window) * (w // window)
     b = bw // nw
     perm = jnp.asarray(_repartition_perm(h, w, window, shift_amt))
-    y = jnp.take(xw.reshape(b, h * w, c), perm, axis=1)
+    y = jnp.take(xw.reshape(b, h * w, c), perm, axis=1,
+                 unique_indices=True)
     return y.reshape(bw, n, c)
 
 
@@ -163,6 +164,78 @@ def _repartition_bwd(window, h, w, shift_amt, _, g):
 
 
 repartition.defvjp(_repartition_fwd, _repartition_bwd)
+
+
+@functools.lru_cache(maxsize=None)
+def _merge_perm(res: int, win: int, next_win: int) -> np.ndarray:
+    """Static permutation for the window-resident PatchMerging boundary:
+    out_flat[t' * 4 + j] = in_flat[perm[t' * 4 + j]], where t' enumerates
+    NEXT-stage tokens in (window, token) partition order, j enumerates the
+    2x2 source quadrant in HF concat order [x00, x10, x01, x11]
+    (modeling_swin SwinPatchMerging), and in_flat rows are THIS stage's
+    partition order. One gather replaces the window_reverse transpose +
+    the four strided-slice concats + the next stage's window_partition
+    transpose. Returns (perm, inv_perm): the map is a bijection of the
+    res*res tokens (every source token feeds exactly one (t', j) slot), so
+    the VJP is the inverse permutation as another gather."""
+    next_res = res // 2
+    nw_x, nw_x2 = res // win, next_res // next_win
+    n, n2 = win * win, next_win * next_win
+    t = np.arange(next_res * next_res)
+    wprime, nprime = np.divmod(t, n2)
+    wy, wx = np.divmod(wprime, nw_x2)
+    ry, rx = np.divmod(nprime, next_win)
+    y2, x2 = wy * next_win + ry, wx * next_win + rx        # next-stage raster
+    perm = np.empty((t.size, 4), np.int32)
+    for j, (dy, dx) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        ys, xs = 2 * y2 + dy, 2 * x2 + dx                  # source raster
+        sy, sry = np.divmod(ys, win)
+        sx, srx = np.divmod(xs, win)
+        perm[:, j] = (sy * nw_x + sx) * n + sry * win + srx
+    perm = perm.reshape(-1)
+    return perm, np.argsort(perm).astype(np.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def merge_gather(xw: jax.Array, res: int, win: int,
+                 next_win: int) -> jax.Array:
+    """Stage-boundary relayout for PatchMerging WITHOUT leaving window
+    partitioning: (B*nW, N, C) in this stage's layout -> (B*nW', N', 4C)
+    already in the NEXT stage's layout, with the 4C axis in HF
+    SwinPatchMerging concat order. One static row gather per image (see
+    _merge_perm); the (N', 4, C) -> (N', 4C) reshape is contiguous (free).
+    Replaces the measured reverse+concat+partition chain at each of the 3
+    stage boundaries (docs/DESIGN.md, Swin eval budget)."""
+    bw, n, c = xw.shape
+    nw = (res // win) ** 2
+    b = bw // nw
+    next_res = res // 2
+    n2 = next_win * next_win
+    perm, _ = _merge_perm(res, win, next_win)
+    y = jnp.take(xw.reshape(b, res * res, c), jnp.asarray(perm), axis=1,
+                 unique_indices=True, indices_are_sorted=False)
+    return y.reshape(b * (next_res // next_win) ** 2, n2, 4 * c)
+
+
+def _merge_gather_fwd(xw, res, win, next_win):
+    return merge_gather(xw, res, win, next_win), None
+
+
+def _merge_gather_bwd(res, win, next_win, _, g):
+    # g: (B*nW', N', 4C); as (b, L'*4, c) its element order is exactly the
+    # forward gather's output slots, so dx = g[inv_perm] per image
+    b4, n2, c4 = g.shape
+    c = c4 // 4
+    next_res = res // 2
+    b = b4 // ((next_res // next_win) ** 2)
+    _, inv = _merge_perm(res, win, next_win)
+    gx = jnp.take(g.reshape(b, res * res, c), jnp.asarray(inv), axis=1,
+                  unique_indices=True, indices_are_sorted=False)
+    nw = (res // win) ** 2
+    return (gx.reshape(b * nw, win * win, c),)
+
+
+merge_gather.defvjp(_merge_gather_fwd, _merge_gather_bwd)
 
 
 class SwinAttnParams(nn.Module):
@@ -575,21 +648,38 @@ class SwinBlock(nn.Module):
 
 
 class PatchMerging(nn.Module):
+    """Swin downsample: 2x2 concat -> LN(4C) -> Linear(4C->2C, no bias).
+
+    `partitioned=True` (with `window`/`out_window`) consumes THIS stage's
+    window-resident (B*nW, N, C) stream and emits the NEXT stage's
+    (B*nW', N', 2C) directly — the reverse/concat/partition layout chain
+    collapses into merge_gather's single static row permutation. Parameter
+    names/shapes are identical either way (same "norm"/"reduction" tree
+    paths; LN and Dense act on the last axis only)."""
+
     dim: int
     resolution: int
     dtype: jnp.dtype = jnp.float32
+    partitioned: bool = False
+    window: int = 0        # this stage's window (partitioned only)
+    out_window: int = 0    # next stage's window (partitioned only)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, l, c = x.shape
-        h = w = self.resolution
-        x = x.reshape(b, h, w, c)
-        # HF concat order: [x00, x10, x01, x11] (modeling_swin SwinPatchMerging)
-        x = jnp.concatenate([
-            x[:, 0::2, 0::2, :], x[:, 1::2, 0::2, :],
-            x[:, 0::2, 1::2, :], x[:, 1::2, 1::2, :],
-        ], axis=-1)
-        x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
+        if self.partitioned:
+            x = merge_gather(x, self.resolution, self.window,
+                             self.out_window)
+        else:
+            b, l, c = x.shape
+            h = w = self.resolution
+            x = x.reshape(b, h, w, c)
+            # HF concat order: [x00, x10, x01, x11]
+            # (modeling_swin SwinPatchMerging)
+            x = jnp.concatenate([
+                x[:, 0::2, 0::2, :], x[:, 1::2, 0::2, :],
+                x[:, 0::2, 1::2, :], x[:, 1::2, 1::2, :],
+            ], axis=-1)
+            x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm", dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction",
                         dtype=self.dtype)(x)
@@ -658,15 +748,17 @@ class SwinTransformer(nn.Module):
                            and jax.default_backend() == "tpu")
         partitioned = (partitioned and not self.calibrate
                        and not self.is_initializing())
+        in_windows = False       # whether x is currently (B*nW, N, C)
         for stage_i, depth in enumerate(self.depths):
             win = min(self.window_size, res)
             use_part = partitioned and res % win == 0
-            if use_part:
+            if use_part and not in_windows:
                 # transpose-based partition measured faster than the
                 # row-gather equivalent at stage boundaries (57.7 vs
                 # 58.9 ms e2e) — the narrow-row gather only wins where it
-                # replaces a 3-op reverse+roll+partition chain
+                # replaces a longer layout chain (repartition/merge_gather)
                 x = window_partition(x.reshape(b, res, res, dim), win)
+            in_windows = use_part
             for layer_i in range(depth):
                 shift = 0 if layer_i % 2 == 0 else self.window_size // 2
                 if res <= self.window_size:
@@ -681,11 +773,23 @@ class SwinTransformer(nn.Module):
                     name=f"stage{stage_i}_block{layer_i}",
                     dtype=self.dtype)(x, deterministic)
                 block_i += 1
-            if use_part:
+            last_stage = stage_i == len(self.depths) - 1
+            # the stage boundary: when both sides run window-resident, the
+            # reverse + 2x2-concat + next-partition layout chain folds into
+            # PatchMerging's single merge_gather permutation. fold implies
+            # the next stage's use_part (same divisibility condition), so
+            # the partitioned output carries straight into its blocks.
+            next_win = 0 if last_stage else min(self.window_size, res // 2)
+            fold = bool(use_part and next_win
+                        and (res // 2) % next_win == 0)
+            if in_windows and not fold:
                 x = window_reverse(x, win, res, res).reshape(
                     b, res * res, dim)
-            if stage_i < len(self.depths) - 1:
+                in_windows = False
+            if not last_stage:
                 x = PatchMerging(dim=dim, resolution=res,
+                                 partitioned=fold, window=win,
+                                 out_window=next_win,
                                  name=f"stage{stage_i}_downsample",
                                  dtype=self.dtype)(x)
                 dim *= 2

@@ -18,6 +18,7 @@ This module adds the BASELINE.json north-star capability natively:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -108,6 +109,80 @@ class DescriptorIndex:
         else:
             self._install(x.astype(self.dtype), None)
         return self
+
+    def build_chunked(self, chunks, total: int,
+                      normalized: bool = True) -> "DescriptorIndex":
+        """Build from an iterator of row chunks without ever materializing
+        the full-precision gallery: a 1M x 8448 f32 descriptor array is
+        33.8 GB — it cannot exist on a 16 GB chip (or cheaply on the host),
+        but its int8 index (8.4 GB + scales) fits. Each chunk is quantized/
+        cast on device as it arrives and written into a preallocated
+        destination:
+
+        - mesh=None: the destination buffer lives on device and is filled
+          in place via a donated dynamic_update_slice jit — peak HBM is the
+          final index + ONE f32 chunk.
+        - mesh: chunks are quantized on device, staged to the host, and the
+          assembled rows are installed with one sharded device_put (the
+          destination sharding isn't knowable until the padded row count
+          is).
+
+        `total` must equal the summed chunk rows (checked)."""
+        if self.mesh is not None:
+            rows_np, scale_np = [], []
+            for c in chunks:
+                q, s = self._quantize_chunk(jnp.asarray(c), normalized)
+                rows_np.append(np.asarray(jax.device_get(q)))
+                if s is not None:
+                    scale_np.append(np.asarray(jax.device_get(s)))
+            rows = np.concatenate(rows_np)
+            if rows.shape[0] != total:
+                raise ValueError(f"chunks carried {rows.shape[0]} rows, "
+                                 f"expected total={total}")
+            self._install(jnp.asarray(rows),
+                          jnp.asarray(np.concatenate(scale_np))
+                          if scale_np else None)
+            return self
+
+        store_dtype = jnp.int8 if self.quantize else self.dtype
+        dst = jnp.zeros((total, self.dim), store_dtype)
+        dst_scale = jnp.ones((total,), jnp.float32) if self.quantize else None
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnums=(4,))
+        def fill(dst, dst_scale, chunk, off, norm):
+            x = chunk.astype(jnp.float32)
+            if not norm:
+                x = normalize_l2(x)
+            if self.quantize:
+                q, s = _quantize_rows(x)
+                dst_scale = jax.lax.dynamic_update_slice(dst_scale, s, (off,))
+            else:
+                q = x.astype(self.dtype)
+            dst = jax.lax.dynamic_update_slice(dst, q, (off, 0))
+            return dst, dst_scale
+
+        off = 0
+        for c in chunks:
+            c = jnp.asarray(c)
+            if off + c.shape[0] > total:
+                raise ValueError(f"chunks exceed total={total}")
+            dst, dst_scale = fill(dst, dst_scale, c,
+                                  jnp.int32(off), normalized)
+            off += c.shape[0]
+        if off != total:
+            raise ValueError(f"chunks carried {off} rows, "
+                             f"expected total={total}")
+        self._install(dst, dst_scale)
+        return self
+
+    def _quantize_chunk(self, x: jax.Array, normalized: bool):
+        """Quantize/cast one chunk of rows on device (no install)."""
+        if not normalized:
+            x = normalize_l2(x)
+        if self.quantize:
+            return _quantize_rows(x)
+        return x.astype(self.dtype), None
 
     def _install(self, rows: jax.Array, scale: Optional[jax.Array]):
         """Place (already-quantized/cast) database rows on device, sharded

@@ -49,6 +49,38 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
 
 
+@pytest.mark.parametrize("quantize", [False, True])
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_build_chunked_matches_build(quantize, use_mesh):
+    """Streaming chunked build (the only way a 1M x 8448 gallery can be
+    built — the f32 array would be 33.8 GB) must produce bit-identical
+    search results to the one-shot build, on and off the mesh, quantized
+    and not, including a ragged final chunk."""
+    rng = np.random.default_rng(7)
+    db = _unit(rng, 100, 32)
+    q = _unit(rng, 9, 32)
+    mesh = create_mesh() if use_mesh else None
+    one = DescriptorIndex(dim=32, dtype=jnp.float32, mesh=mesh,
+                          quantize=quantize).build(db)
+    chunks = [db[0:40], db[40:80], db[80:100]]   # ragged tail
+    chunked = DescriptorIndex(dim=32, dtype=jnp.float32, mesh=mesh,
+                              quantize=quantize).build_chunked(chunks, 100)
+    s1, i1 = one.search(jnp.array(q), k=5)
+    s2, i2 = chunked.search(jnp.array(q), k=5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+def test_build_chunked_row_count_mismatch_raises():
+    rng = np.random.default_rng(8)
+    db = _unit(rng, 20, 16)
+    idx = DescriptorIndex(dim=16, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="expected total"):
+        idx.build_chunked([db[:10]], 20)
+    with pytest.raises(ValueError, match="exceed"):
+        idx.build_chunked([db, db], 20)
+
+
 def test_bf16_index_recall():
     rng = np.random.default_rng(3)
     db = _unit(rng, 256, 64)

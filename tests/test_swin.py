@@ -219,6 +219,39 @@ def test_repartition_matches_roll_chain():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_merge_gather_matches_reverse_concat_partition():
+    """The single-gather window-resident PatchMerging boundary must equal
+    the reverse -> 2x2 HF-order concat -> next-partition chain it replaces,
+    and its custom VJP (inverse permutation) must equal the chain's
+    gradient."""
+    from geovpr.models.swin import merge_gather
+
+    rng = np.random.default_rng(2)
+    for res, win, next_win in ((24, 12, 12), (24, 12, 6), (14, 7, 7)):
+        c = 6
+        x = jnp.array(rng.normal(size=(2, res, res, c)).astype(np.float32))
+        xw = window_partition(x, win)
+
+        def chain(xw):
+            s = window_reverse(xw, win, res, res)
+            m = jnp.concatenate([
+                s[:, 0::2, 0::2, :], s[:, 1::2, 0::2, :],
+                s[:, 0::2, 1::2, :], s[:, 1::2, 1::2, :],
+            ], axis=-1)
+            return window_partition(m, next_win)
+
+        want = chain(xw)
+        got = merge_gather(xw, res, win, next_win)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+        g_want = jax.grad(lambda t: jnp.sum(jnp.sin(chain(t))))(xw)
+        g_got = jax.grad(
+            lambda t: jnp.sum(jnp.sin(merge_gather(t, res, win,
+                                                   next_win))))(xw)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_partitioned_block_io_matches_spatial():
     """SwinBlock with partitioned_io=True (resident window-partitioned
     layout) must compute exactly the partition of the spatial block's
