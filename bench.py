@@ -503,12 +503,14 @@ def bench_swin_train(args):
         model = SwinTransformer(embed_dim=128, depths=(2, 2),
                                 num_heads=(4, 8), window_size=12,
                                 image_size=96, patch_size=4,
-                                drop_path_rate=0.1, dtype=jnp.bfloat16)
+                                drop_path_rate=0.1, remat=args.remat,
+                                dtype=jnp.bfloat16)
         batch, iters = args.batch or 2, 2
         head_dim = 256
     else:
         model = SwinTransformer(**SWIN_VARIANTS["base-384"],
-                                drop_path_rate=0.1, dtype=jnp.bfloat16)
+                                drop_path_rate=0.1, remat=args.remat,
+                                dtype=jnp.bfloat16)
         batch, iters = args.batch or 32, min(args.iters, 6)
         head_dim = 1024
     size = model.image_size
@@ -555,13 +557,15 @@ def bench_swin_train(args):
     best = min(times)
     img_per_sec = batch / best
     print(json.dumps({
-        "metric": "swin_b384_train_step_throughput",
+        "metric": "swin_b384_train_step_throughput"
+                  + ("_remat" if args.remat else ""),
         "value": round(img_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / 5000.0, 4),
     }))
     print(f"# backend={jax.default_backend()} batch={batch} "
-          f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
+          f"step={best*1e3:.2f}ms iters={iters} remat={args.remat}",
+          file=sys.stderr)
 
 
 def bench_efficientnet_train(args):
@@ -1015,6 +1019,10 @@ def main():
                         help="benchmark the Swin-B-384 fine-tune step "
                              "(Huber + AdamW, stored-p structured Pallas "
                              "backward)")
+    parser.add_argument("--remat", action="store_true",
+                        help="with --swin-train: jax.checkpoint each block "
+                             "(activation memory O(1), enables larger "
+                             "per-chip batch)")
     parser.add_argument("--int8", action="store_true",
                         help="(default) w8a8 serving path: quantized MLPs + "
                              "attention projections with static calibrated "

@@ -775,13 +775,22 @@ class SwinTransformer(nn.Module):
                 block_i += 1
             last_stage = stage_i == len(self.depths) - 1
             # the stage boundary: when both sides run window-resident, the
-            # reverse + 2x2-concat + next-partition layout chain folds into
-            # PatchMerging's single merge_gather permutation. fold implies
-            # the next stage's use_part (same divisibility condition), so
-            # the partitioned output carries straight into its blocks.
+            # reverse + 2x2-concat + next-partition layout chain CAN fold
+            # into PatchMerging's single merge_gather permutation
+            # (GEOVPR_SWIN_MERGE_FOLD=1). Measured-futile and DEFAULT OFF:
+            # Swin-B-384 int8 eval 55.89 -> 59.49 ms at B=64 (same-session
+            # A/B, round 4) — the full-L row gather runs ~3.4x off copy
+            # bandwidth at these row widths, losing to the transpose chain
+            # + XLA's fusion of the strided concat into the LN/matmul, the
+            # same way the earlier gather-based boundary conversion lost
+            # (58.9 vs 57.7 ms, docs/DESIGN.md). fold implies the next
+            # stage's use_part (same divisibility condition), so the
+            # partitioned output carries straight into its blocks.
             next_win = 0 if last_stage else min(self.window_size, res // 2)
             fold = bool(use_part and next_win
-                        and (res // 2) % next_win == 0)
+                        and (res // 2) % next_win == 0
+                        and os.environ.get("GEOVPR_SWIN_MERGE_FOLD",
+                                           "0") == "1")
             if in_windows and not fold:
                 x = window_reverse(x, win, res, res).reshape(
                     b, res * res, dim)

@@ -20,6 +20,7 @@ plus `export_fused_csvs` writing the combined submission files.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Optional
 
@@ -78,20 +79,44 @@ class FusedPipeline:
         self._step = jax.jit(self._forward)
 
     @staticmethod
-    def _resize_for_head(x: jax.Array, size: int, resize_to: int = 0):
-        """Static-shape device resize of the shared stream for one head."""
+    @functools.lru_cache(maxsize=None)
+    def _resize_matrix(src: int, dst: int) -> np.ndarray:
+        """Exact (dst, src) row-interpolation matrix of
+        jax.image.resize(..., "bilinear"): resize is linear and separable,
+        so resizing the identity yields its per-axis weights (including the
+        antialias triangle widening on downscale). Cached as numpy so it
+        bakes into the jitted program as a small constant."""
+        eye = np.eye(src, dtype=np.float32)
+        # first call may happen inside a jit trace — force eager evaluation
+        # (otherwise resize returns a tracer and np.asarray throws)
+        with jax.ensure_compile_time_eval():
+            return np.asarray(jax.image.resize(eye, (dst, src), "bilinear"))
+
+    @classmethod
+    def _resize_for_head(cls, x: jax.Array, size: int, resize_to: int = 0):
+        """Static-shape device resize of the shared (square) stream for one
+        head, as two separable matmuls on the MXU — measured 4.43 -> 1.81
+        ms/batch at (64, 384->224, f32) vs jax.image.resize's gather
+        lowering, identical weights (docs/DESIGN.md, round 4). With
+        `resize_to` (the Resize(256)+CenterCrop(size) eval geometry,
+        validation_script.py:124-129) the crop is FOLDED into the weight
+        slice: rows [off:off+size] of the (resize_to, s) matrix — exact by
+        linearity, and the resize_to^2 intermediate never materializes."""
         s = x.shape[1]
         if resize_to and size:
-            if resize_to != s:
-                x = jax.image.resize(
-                    x, (x.shape[0], resize_to, resize_to, x.shape[-1]),
-                    "bilinear")
+            if resize_to == s:
+                off = (resize_to - size) // 2
+                return x[:, off:off + size, off:off + size, :]
+            w = cls._resize_matrix(s, resize_to)
             off = (resize_to - size) // 2
-            return x[:, off:off + size, off:off + size, :]
-        if size and size != s:
-            return jax.image.resize(
-                x, (x.shape[0], size, size, x.shape[-1]), "bilinear")
-        return x
+            w = jnp.asarray(w[off:off + size])          # (size, s)
+        elif size and size != s:
+            w = jnp.asarray(cls._resize_matrix(s, size))
+        else:
+            return x
+        w = w.astype(x.dtype)
+        y = jnp.einsum("th,bhwc->btwc", w, x)
+        return jnp.einsum("tw,bhwc->bhtc", w, y)
 
     def _forward(self, geo_v, ang_v, desc_v, images, images_alt=None):
         # variables are traced ARGUMENTS — closing over them would bake

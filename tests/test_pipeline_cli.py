@@ -373,6 +373,28 @@ class TestFusedPerHeadResize:
         z = FusedPipeline._resize_for_head(x, size=8)
         np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
 
+    def test_resize_for_head_matches_jax_image_resize(self):
+        """The separable-matmul resize (weights = jax.image.resize of the
+        identity) must reproduce jax.image.resize itself, plain and with
+        the crop folded into the weight slice."""
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(2, 48, 48, 3)).astype(np.float32))
+        want = jax.image.resize(x, (2, 28, 28, 3), "bilinear")
+        got = FusedPipeline._resize_for_head(x, size=28)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        big = jax.image.resize(x, (2, 32, 32, 3), "bilinear")
+        want2 = big[:, 2:30, 2:30, :]
+        got2 = FusedPipeline._resize_for_head(x, size=28, resize_to=32)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=1e-5, atol=1e-5)
+        # upscale path too (antialias off in jax.image for upscales;
+        # weights extracted from resize itself so parity is automatic)
+        up = jax.image.resize(x, (2, 56, 56, 3), "bilinear")
+        got3 = FusedPipeline._resize_for_head(x, size=56)
+        np.testing.assert_allclose(np.asarray(got3), np.asarray(up),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestFusedRetrievalExport:
     def test_export_writes_retrieval_matches(self, tmp_path):

@@ -347,3 +347,9 @@ def test_partitioned_transformer_train_mode(monkeypatch):
     got = model.apply(v, x, deterministic=False, rngs=rngs).pooled
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+    # the folded merge_gather boundary (measured-futile on chip, kept
+    # behind the knob) must stay numerically identical end to end
+    monkeypatch.setenv("GEOVPR_SWIN_MERGE_FOLD", "1")
+    folded = model.apply(v, x, deterministic=False, rngs=rngs).pooled
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
