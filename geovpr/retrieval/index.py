@@ -72,7 +72,9 @@ class DescriptorIndex:
 
     `quantize=True` stores the database int8 with per-row scales (symmetric
     PTQ after L2 normalization): 4x the HBM capacity of bf16 — a 1M-image
-    8448-dim index drops 16.9 -> 8.4 GB — and the score pass runs
+    8448-dim index drops 16.9 -> 8.4 GB, VALIDATED on one v5e chip: built
+    streaming in 12.1 s, searched at 11,281 q/s, recall@1 probe 1.0
+    (round 4, benches/RETRIEVAL_1M_r04.log) — and the score pass runs
     int8 x int8 -> int32 on the MXU (slope-measured ~2x bf16 dot throughput
     at these shapes, docs/DESIGN.md). Queries are quantized per-row at
     search time; true inner products of the quantized vectors are restored
