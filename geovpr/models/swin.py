@@ -52,6 +52,15 @@ SWIN_VARIANTS = {
 LN_EPS = 1e-5
 
 
+def _pallas_backend() -> bool:
+    """Whether the fused Pallas paths should engage. True on TPU; the
+    GEOVPR_FORCE_PALLAS=1 escape lets CPU tests drive the kernel paths
+    under the interpret-mode pallas_call patch (tests/test_pallas_ops.py
+    pattern) — never set it in production."""
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("GEOVPR_FORCE_PALLAS") == "1")
+
+
 def relative_position_index(window: int) -> np.ndarray:
     """Standard Swin (2w-1)^2 relative-position index table, (N, N) int32."""
     coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
@@ -315,6 +324,16 @@ class SwinBlock(nn.Module):
     # directly) and shifted blocks pay one static row permutation each way
     # (reverse -> roll -> partition, which XLA fuses into one copy).
     partitioned_io: bool = False
+    # alternating-layout serving (GEOVPR_SWIN_ALT_LAYOUT): the partitioned
+    # stream arrives rolled by `in_shift` (the PREVIOUS block's shift) and
+    # leaves rolled by `self.shift`; the fused kernel assembles each
+    # window-row in VMEM from two adjacent source rows
+    # (pallas_swin_block._roll_assemble) instead of this block paying the
+    # two HBM `repartition` gathers. Driver-gated: SwinTransformer enables
+    # it per stage only when swin_rolled_ok holds and the serving kernels
+    # will actually run.
+    alt_layout: bool = False
+    in_shift: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -328,6 +347,11 @@ class SwinBlock(nn.Module):
         if self.partitioned_io:
             b = b // nw
             l = h * w
+        alt = self.alt_layout and self.partitioned_io
+        roll = None
+        if alt and self.shift != self.in_shift:
+            roll = (1 if self.shift > self.in_shift else -1,
+                    self.window, w // self.window, h // self.window)
         shortcut = x
         # Serving kernel on the deterministic (eval) path only: its
         # backward is an XLA recompute — the train path has its own fused
@@ -336,7 +360,7 @@ class SwinBlock(nn.Module):
         # attention context amax, which the fused kernels never
         # materialize.
         pallas_ok = (self.use_pallas and deterministic
-                     and jax.default_backend() == "tpu"
+                     and _pallas_backend()
                      and not self.calibrate)
 
         n1_scale, n1_bias = PScaleBias(c, name="norm1")()
@@ -357,6 +381,10 @@ class SwinBlock(nn.Module):
 
         def to_windows(t):
             """Layout in: block input -> (BW, N, C) rolled windows."""
+            if alt:
+                # alternating layout: the kernel assembles the roll in
+                # VMEM (see `roll` above); the stream passes through
+                return t
             if self.partitioned_io:
                 if self.shift == 0:
                     return t
@@ -369,6 +397,10 @@ class SwinBlock(nn.Module):
 
         def from_windows(t):
             """Layout out: (BW, N, C) rolled windows -> block layout."""
+            if alt:
+                # output stays in THIS block's shift layout; the next
+                # consumer assembles from it
+                return t
             if self.partitioned_io:
                 if self.shift == 0:
                     return t
@@ -410,7 +442,8 @@ class SwinBlock(nn.Module):
             if not self.is_initializing():
                 attn_args = self._attn_int8_fold(n1_scale, n1_bias, attn, qa)
                 xw = to_windows(x)
-                ow = self._attention_int8(xw, attn_args, bias, mask)
+                ow = self._attention_int8(xw, attn_args, bias, mask,
+                                          roll=roll)
                 x = from_windows(ow)
                 return self._mlp_half(x, deterministic)
 
@@ -422,11 +455,16 @@ class SwinBlock(nn.Module):
         # recomputed in VMEM; dqkv + rel-pos-bias grad in one kernel) and
         # leaves the residual outside so DropPath keeps its semantics
         train_kernel_ok = (self.use_pallas and not deterministic
-                           and jax.default_backend() == "tpu"
+                           and _pallas_backend()
                            and not self.calibrate)
         kernel_shapes_ok = (not self.is_initializing()
                             and swin_block_kernel_ok(n, c, b * nw,
                                                      self.num_heads))
+        if roll is not None and not (pallas_ok and kernel_shapes_ok):
+            # the rolled stream is only consumable by the fused serving
+            # kernels; the driver gates alt-layout on exactly this
+            raise RuntimeError(
+                "alt-layout Swin stream reached a non-kernel path")
         if pallas_ok and kernel_shapes_ok:
             # fused half-block: LN1 -> qkv -> window attention -> proj ->
             # +residual in ONE kernel (one read + one write of the token
@@ -441,10 +479,22 @@ class SwinBlock(nn.Module):
                 axis=1).astype(self.dtype)
             bqkv = jnp.concatenate(
                 [attn["query"][1], attn["key"][1], attn["value"][1]])
-            ow = fused_swin_attn_block(
-                xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
-                attn["proj"][0].astype(self.dtype), attn["proj"][1],
-                bias, mask, self.num_heads, LN_EPS)
+            if roll is not None:
+                from geovpr.ops.pallas_swin_block import (
+                    fused_swin_attn_block_rolled)
+                ow = fused_swin_attn_block_rolled(
+                    xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
+                    attn["proj"][0].astype(self.dtype), attn["proj"][1],
+                    bias, mask, self.num_heads, roll[0], roll[1], roll[2],
+                    roll[3], LN_EPS)
+                if ow is None:     # driver pre-checks swin_rolled_ok
+                    raise RuntimeError(
+                        "alt-layout enabled for an ineligible Swin block")
+            else:
+                ow = fused_swin_attn_block(
+                    xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
+                    attn["proj"][0].astype(self.dtype), attn["proj"][1],
+                    bias, mask, self.num_heads, LN_EPS)
             x = from_windows(ow)
         elif train_kernel_ok and kernel_shapes_ok:
             xw = to_windows(x)
@@ -530,26 +580,36 @@ class SwinBlock(nn.Module):
                 attn["proj"][1].astype(jnp.float32),
                 cs, cpv)
 
-    def _attention_int8(self, xw, attn_args, bias, mask):
+    def _attention_int8(self, xw, attn_args, bias, mask, roll=None):
         """w8a8 attention half on pre-partitioned (BW, N, C) windows: the
         fused int8 Pallas kernel on TPU, or an XLA fallback with identical
         arithmetic (CPU tests, window-7 shapes). Layout (roll/partition or
-        the resident-partitioned repartition) is the caller's job.
+        the resident-partitioned repartition) is the caller's job — except
+        `roll=(sign, window, nw_x, nw_y)` (alternating layout), where the
+        kernel itself assembles the rolled stream in VMEM; only the fused
+        kernel understands that, so the fallback raises.
         Serving-only — stop_gradient'ed."""
         c = xw.shape[-1]
         (ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
          bo, cs, cpv) = attn_args
 
         ow = None
-        if self.use_pallas and jax.default_backend() == "tpu":
+        if self.use_pallas and _pallas_backend():
             from geovpr.ops.pallas_swin_block import fused_swin_attn_block_int8
+            rkw = ({} if roll is None else
+                   dict(roll_sign=roll[0], window=roll[1], nw_x=roll[2],
+                        nw_y=roll[3]))
             ow = fused_swin_attn_block_int8(
                 xw.astype(jnp.bfloat16), ln_scale_q, ln_bias_q, wqkv_q,
                 sqkv_eff, bqkv_eff, wo_q, so_eff, bo, bias, mask,
                 self.num_heads, LN_EPS,
-                cs=None if cs is None else cs * _SWIN_LOG2E, cpv=cpv)
+                cs=None if cs is None else cs * _SWIN_LOG2E, cpv=cpv,
+                **rkw)
             if ow is not None:
                 ow = ow.astype(xw.dtype)
+        if ow is None and roll is not None:
+            raise RuntimeError(
+                "alt-layout Swin stream reached a non-kernel int8 path")
         if ow is None:
             # XLA fallback: same arithmetic, plain exp-domain softmax
             bw, n, _ = xw.shape
@@ -745,9 +805,23 @@ class SwinTransformer(nn.Module):
             partitioned = override == "1"
         else:
             partitioned = (self.use_pallas
-                           and jax.default_backend() == "tpu")
+                           and _pallas_backend())
         partitioned = (partitioned and not self.calibrate
                        and not self.is_initializing())
+        # Alternating-layout serving (round 4): instead of the two
+        # repartition HBM gathers around every shifted block, let the
+        # stream STAY in each block's own shift layout and have the fused
+        # serving kernels assemble their window-rows in VMEM from the
+        # ±(window//2)-rolled predecessor layout
+        # (pallas_swin_block._roll_assemble). Per stage: the first block
+        # pays nothing, every later block one in-kernel assembly; the
+        # stage-boundary unroll is a cheap 2-concat jnp.roll in raster
+        # space. Serving only (deterministic; the train kernels keep the
+        # repartition path), gated per stage on swin_rolled_ok.
+        alt_env = os.environ.get("GEOVPR_SWIN_ALT_LAYOUT", "1") == "1"
+        alt_env = (alt_env and deterministic
+                   and os.environ.get("GEOVPR_SWIN_MERGE_FOLD", "0") != "1")
+        from geovpr.ops.pallas_swin_block import swin_rolled_ok
         in_windows = False       # whether x is currently (B*nW, N, C)
         for stage_i, depth in enumerate(self.depths):
             win = min(self.window_size, res)
@@ -759,6 +833,16 @@ class SwinTransformer(nn.Module):
                 # replaces a longer layout chain (repartition/merge_gather)
                 x = window_partition(x.reshape(b, res, res, dim), win)
             in_windows = use_part
+            nw_lin = res // win
+            # alt-layout additionally requires the serving kernels to
+            # actually engage (the rolled stream is kernel-only — the
+            # GEOVPR_SWIN_PARTITIONED=1 CPU override must not enable it)
+            use_alt = (use_part and alt_env and nw_lin > 1
+                       and self.use_pallas and _pallas_backend()
+                       and swin_rolled_ok(win * win, dim, b * nw_lin ** 2,
+                                          self.num_heads[stage_i],
+                                          nw_lin, nw_lin))
+            cur_shift = 0
             for layer_i in range(depth):
                 shift = 0 if layer_i % 2 == 0 else self.window_size // 2
                 if res <= self.window_size:
@@ -770,8 +854,12 @@ class SwinTransformer(nn.Module):
                     use_pallas=self.use_pallas,
                     int8_mlp=self.int8_mlp, int8_attn=self.int8_attn,
                     calibrate=self.calibrate, partitioned_io=use_part,
+                    alt_layout=use_alt,
+                    in_shift=cur_shift if use_alt else 0,
                     name=f"stage{stage_i}_block{layer_i}",
                     dtype=self.dtype)(x, deterministic)
+                if use_alt:
+                    cur_shift = shift
                 block_i += 1
             last_stage = stage_i == len(self.depths) - 1
             # the stage boundary: when both sides run window-resident, the
@@ -792,8 +880,15 @@ class SwinTransformer(nn.Module):
                         and os.environ.get("GEOVPR_SWIN_MERGE_FOLD",
                                            "0") == "1")
             if in_windows and not fold:
-                x = window_reverse(x, win, res, res).reshape(
-                    b, res * res, dim)
+                x = window_reverse(x, win, res, res)
+                if cur_shift:
+                    # alt-layout stream leaves the stage in the LAST
+                    # block's shift layout; in raster space the unroll is
+                    # two concats of contiguous slabs (near copy
+                    # bandwidth), unlike the window-space gather
+                    x = jnp.roll(x, shift=(cur_shift, cur_shift),
+                                 axis=(1, 2))
+                x = x.reshape(b, res * res, dim)
                 in_windows = False
             if not last_stage:
                 x = PatchMerging(dim=dim, resolution=res,

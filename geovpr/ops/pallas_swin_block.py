@@ -383,13 +383,50 @@ def _swin_attention_stages_qk8(qi, ki, v, bias_ref, mask_ref, ctx_ref,
             i += 1
 
 
+def _roll_assemble(a, b, *, window: int, nw_x: int, sign: int):
+    """In-VMEM roll-by-±(window//2) relayout of ONE window-row of the
+    partitioned stream (the alternating-layout serving mode — see the
+    rolled entries below). `a`/`b` are the two adjacent source window-rows
+    as (nw_x*N, C) window-major values; returns the target window-row in
+    the SAME shape. sign=+1 assembles the shifted layout from an unshifted
+    stream (every target token t' reads source (y'+s, x'+s) mod (H, W));
+    sign=-1 is the inverse. Row wrap rides the operand index maps (the
+    caller points a/b at window-rows wy/wy+1 for +1, wy-1/wy for -1), so
+    the body is direction-independent for rows; columns differ only in
+    which neighbor window supplies the wrap (static jnp.roll -> Mosaic
+    slices/concats, no gather). Replaces the HBM `repartition` gather
+    (models/swin.py) with VPU shuffles overlapped into the kernel's
+    pipeline."""
+    off = window // 2
+    m, c = a.shape
+    aw = a.reshape(nw_x, window, window, c)
+    bw = b.reshape(nw_x, window, window, c)
+
+    def cols(t):
+        if sign > 0:
+            left, right = t, jnp.roll(t, -1, axis=0)
+        else:
+            left, right = jnp.roll(t, 1, axis=0), t
+        return jnp.concatenate([left[:, :, off:, :], right[:, :, :off, :]],
+                               axis=2)
+
+    top = cols(aw[:, off:, :, :])
+    bot = cols(bw[:, :off, :, :])
+    return jnp.concatenate([top, bot], axis=1).reshape(m, c)
+
+
 def _kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
             wo_ref, bo_ref, bias_ref, mask_ref, o_ref, ctx_ref,
             *, num_heads: int, n: int, wb: int, nw: int, scale: float,
-            ln_eps: float, has_mask: bool, g: int = 1):
+            ln_eps: float, has_mask: bool, g: int = 1, x2_ref=None,
+            window: int = 0, nw_x: int = 0, roll_sign: int = 0):
     m, d = x_ref.shape              # (wb*n, C)
 
-    x_raw = x_ref[:]
+    if roll_sign:
+        x_raw = _roll_assemble(x_ref[:], x2_ref[:], window=window,
+                               nw_x=nw_x, sign=roll_sign)
+    else:
+        x_raw = x_ref[:]
     xf = x_raw.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
@@ -418,7 +455,8 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
                  cs_ref, o_ref, ctx_ref, *, num_heads: int, n: int,
                  wb: int, nw: int, scale: float, ln_eps: float,
                  has_mask: bool, g: int = 1, qk8: bool = False,
-                 pv8: bool = False):
+                 pv8: bool = False, x2_ref=None, window: int = 0,
+                 nw_x: int = 0, roll_sign: int = 0):
     """w8a8 serving variant: the qkv and out projections run
     int8 x int8 -> int32 on the MXU; the attention core stays bf16. Static
     activation scales arrive PRE-FOLDED by the caller (same fold as
@@ -430,7 +468,11 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
     m, d = x_ref.shape
     dh = d // num_heads
 
-    x_raw = x_ref[:]
+    if roll_sign:
+        x_raw = _roll_assemble(x_ref[:], x2_ref[:], window=window,
+                               nw_x=nw_x, sign=roll_sign)
+    else:
+        x_raw = x_ref[:]
     xf = x_raw.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
@@ -473,6 +515,47 @@ def _kernel_int8(x_ref, ln_scale_ref, ln_bias_ref, wqkv_q_ref, sqkv_ref,
                      preferred_element_type=jnp.int32)
     out = yo.astype(jnp.float32) * so_ref[:] + bo_ref[:].astype(jnp.float32)
     o_ref[:] = (out + xf).astype(o_ref.dtype)
+
+
+def _kernel_rolled(x_ref, x2_ref, *rest, **params):
+    """Positional-ref adapter: pallas_call passes refs positionally, so the
+    rolled variant slots the second window-row operand in after x."""
+    _kernel(x_ref, *rest, x2_ref=x2_ref, **params)
+
+
+def _kernel_int8_rolled(x_ref, x2_ref, *rest, **params):
+    _kernel_int8(x_ref, *rest, x2_ref=x2_ref, **params)
+
+
+def swin_rolled_ok(n: int, c: int, bw: int, num_heads: int,
+                   nw_x: int, nw_y: int) -> bool:
+    """Eligibility for the alternating-layout (rolled) serving kernels:
+    the usual fused-kernel alignment, more than one window, whole
+    window-rows per program (wb = nw_x — the column wrap must stay inside
+    one program), and the score/probability planes of a full window-row
+    fitting the plane budget. At Swin-B-384 dims every stage's
+    budget-chosen wb already equals nw_x (8/4/2 for stages 0/1/2)."""
+    return (n % 16 == 0 and c % 128 == 0 and nw_x * nw_y > 1
+            and bw % (nw_x * nw_y) == 0
+            and 2 * nw_x * num_heads * n * n * 4 <= _PLANE_BUDGET)
+
+
+def _rolled_x_specs(n: int, c: int, nw_x: int, nw_y: int, roll_sign: int):
+    """The two x operands of a rolled kernel: the SAME (bw*n, c) stream
+    passed twice with window-row block index maps. Program i covers
+    (image b, window-row wy) = divmod(i, nw_y); a +s assembly reads rows
+    wy and wy+1 (mod nw_y, within the same image), a -s assembly rows
+    wy-1 and wy. Wrap is per-image: the mod stays inside b's nw_y rows."""
+    if roll_sign > 0:
+        ia = lambda i: (i, 0)
+        ib = lambda i: ((i // nw_y) * nw_y + ((i % nw_y) + 1) % nw_y, 0)
+    else:
+        ia = lambda i: ((i // nw_y) * nw_y + ((i % nw_y) + nw_y - 1) % nw_y,
+                        0)
+        ib = lambda i: (i, 0)
+    blk = (nw_x * n, c)
+    return [pl.BlockSpec(blk, ia, memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, ib, memory_space=pltpu.VMEM)]
 
 
 def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
@@ -918,11 +1001,17 @@ def _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
 
 
 def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
-             num_heads: int, ln_eps: float):
+             num_heads: int, ln_eps: float, roll_sign: int = 0,
+             window: int = 0, nw_x: int = 0, nw_y: int = 0):
     bw, n, c = xw.shape
     dh = c // num_heads
     scale = dh ** -0.5
-    wb = pick_windows_per_program(bw, n, num_heads)
+    if roll_sign:
+        # alternating-layout serving: whole window-rows per program so the
+        # column wrap stays in-program (eligibility: swin_rolled_ok)
+        wb = nw_x
+    else:
+        wb = pick_windows_per_program(bw, n, num_heads)
     if wb == 0 or n % 16 != 0 or c % 128 != 0:
         return _swin_attn_block_xla(xw, ln_scale, ln_bias, wqkv, bqkv,
                                     wo, bo, mask=mask, bias=bias,
@@ -939,18 +1028,27 @@ def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
         nw = 1
         mask_f = jnp.zeros((n, n), jnp.float32)
 
-    kernel = functools.partial(_kernel, num_heads=num_heads, n=n, wb=wb,
+    base = _kernel_rolled if roll_sign else _kernel
+    kernel = functools.partial(base, num_heads=num_heads, n=n, wb=wb,
                                nw=nw, scale=scale, ln_eps=ln_eps,
-                               has_mask=has_mask, g=g)
+                               has_mask=has_mask, g=g,
+                               **({"window": window, "nw_x": nw_x,
+                                   "roll_sign": roll_sign}
+                                  if roll_sign else {}))
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
+    if roll_sign:
+        x_specs = _rolled_x_specs(n, c, nw_x, nw_y, roll_sign)
+        x_args = (xf, xf)
+    else:
+        x_specs = [pl.BlockSpec((wb * n, c), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)]
+        x_args = (xf,)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
         grid=(bw // wb,),
-        in_specs=[
-            pl.BlockSpec((wb * n, c), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=x_specs + [
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM),
@@ -973,10 +1071,31 @@ def _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
-            bytes_accessed=2 * bw * n * c * xw.dtype.itemsize,
+            bytes_accessed=(3 if roll_sign else 2)
+            * bw * n * c * xw.dtype.itemsize,
             transcendentals=bw * num_heads * n * n),
-    )(xf, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias_f, mask_f)
+    )(*x_args, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias_f, mask_f)
     return out.reshape(bw, n, c)
+
+
+def fused_swin_attn_block_rolled(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                                 bias, mask, num_heads: int, roll_sign: int,
+                                 window: int, nw_x: int, nw_y: int,
+                                 ln_eps: float = 1e-5):
+    """Serving-only (no VJP) bf16 fused half-block for the alternating
+    window layout: xw arrives as the partitioned stream in the layout
+    rolled by `-roll_sign * window//2` relative to this block's attention
+    grouping; the kernel assembles each target window-row in VMEM from two
+    adjacent source window-rows (`_roll_assemble`) instead of the caller
+    paying an HBM `repartition` gather, and writes output in ITS OWN
+    grouping's layout. Caller must pre-check `swin_rolled_ok`."""
+    bw, n, c = xw.shape
+    if not swin_rolled_ok(n, c, bw, num_heads, nw_x, nw_y):
+        return None
+    out = _forward(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
+                   num_heads, ln_eps, roll_sign=roll_sign, window=window,
+                   nw_x=nw_x, nw_y=nw_y)
+    return jax.lax.stop_gradient(out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
@@ -1017,7 +1136,9 @@ fused_swin_attn_block.defvjp(_fwd, _bwd)
 def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
                                bqkv_eff, wo_q, so_eff, bo, bias, mask,
                                num_heads: int, ln_eps: float = 1e-5,
-                               cs=None, cpv=None):
+                               cs=None, cpv=None, roll_sign: int = 0,
+                               window: int = 0, nw_x: int = 0,
+                               nw_y: int = 0):
     """Serving-only (no VJP) w8a8 fused Swin attention half-block.
     Arguments carry PRE-FOLDED static scales — see `_kernel_int8` and the
     fold in `geovpr/models/swin.py` (SwinBlock._attn_int8_fold). Returns
@@ -1028,11 +1149,21 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
     constant a_q·a_k·scale·log2(e); requires sqkv_eff/bqkv_eff folded with
     the 1/a_q / 1/a_k thirds. None = bf16 score matmuls.
     `cpv`: int8-PV mode on top (INT8_PV; v third folded 1/a_v):
-    cpv = a_v/(127·a_ctx)."""
+    cpv = a_v/(127·a_ctx).
+
+    `roll_sign`/`window`/`nw_x`/`nw_y`: alternating-layout serving (see
+    `fused_swin_attn_block_rolled`) — assemble each window-row in VMEM
+    from the ±(window//2)-rolled source stream instead of the caller
+    repartitioning in HBM. Caller pre-checks `swin_rolled_ok`."""
     bw, n, c = xw.shape
     dh = c // num_heads
     scale = dh ** -0.5
-    wb = pick_windows_per_program(bw, n, num_heads)
+    if roll_sign:
+        if not swin_rolled_ok(n, c, bw, num_heads, nw_x, nw_y):
+            return None
+        wb = nw_x
+    else:
+        wb = pick_windows_per_program(bw, n, num_heads)
     if wb == 0 or n % 16 != 0 or c % 128 != 0:
         return None
 
@@ -1047,22 +1178,31 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
         nw = 1
         mask_f = jnp.zeros((n, n), jnp.float32)
 
-    kernel = functools.partial(_kernel_int8, num_heads=num_heads, n=n,
+    base = _kernel_int8_rolled if roll_sign else _kernel_int8
+    kernel = functools.partial(base, num_heads=num_heads, n=n,
                                wb=wb, nw=nw, scale=scale, ln_eps=ln_eps,
                                has_mask=has_mask, g=g, qk8=cs is not None,
-                               pv8=cpv is not None)
+                               pv8=cpv is not None,
+                               **({"window": window, "nw_x": nw_x,
+                                   "roll_sign": roll_sign}
+                                  if roll_sign else {}))
     parts = [jnp.float32(0.0) if c is None else c.astype(jnp.float32)
              for c in (cs, cpv, None, None)]
     cs_arr = jnp.stack([jnp.reshape(c, ()) for c in parts])
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
+    if roll_sign:
+        x_specs = _rolled_x_specs(n, c, nw_x, nw_y, roll_sign)
+        x_args = (xf, xf)
+    else:
+        x_specs = [pl.BlockSpec((wb * n, c), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)]
+        x_args = (xf,)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
         grid=(bw // wb,),
-        in_specs=[
-            pl.BlockSpec((wb * n, c), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=x_specs + [
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM),
@@ -1084,10 +1224,11 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
-            bytes_accessed=2 * bw * n * c * xw.dtype.itemsize,
+            bytes_accessed=(3 if roll_sign else 2)
+            * bw * n * c * xw.dtype.itemsize,
             transcendentals=bw * num_heads * n * n),
-    )(xf, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q, so_eff,
-      bo, bias_f, mask_f, cs_arr)
+    )(*x_args, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff, bqkv_eff, wo_q,
+      so_eff, bo, bias_f, mask_f, cs_arr)
     return jax.lax.stop_gradient(out.reshape(bw, n, c))
 
 

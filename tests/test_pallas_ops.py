@@ -1032,3 +1032,65 @@ class TestFusedMlpInt8Kernel:
         want = self._oracle(*args, residual=res)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestRolledSwinAttnBlock:
+    """Alternating-layout (rolled) serving kernels: the in-VMEM window-row
+    assembly (`_roll_assemble` + the two-operand index maps) must make
+    `fused_swin_attn_block_rolled` equal the repartition-then-kernel chain
+    it replaces, in BOTH roll directions."""
+
+    def _params(self, heads=4, c=128, n=144):
+        rng = np.random.default_rng(7)
+        f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+        return dict(ln_s=f(c) * 0.1 + 1.0, ln_b=f(c) * 0.1,
+                    wqkv=f(c, 3 * c) * 0.05, bqkv=f(3 * c) * 0.05,
+                    wo=f(c, c) * 0.05, bo=f(c) * 0.05,
+                    bias=f(heads, n, n) * 0.02)
+
+    @pytest.mark.parametrize("sign", [1, -1])
+    def test_matches_repartition_chain(self, monkeypatch, sign):
+        import geovpr.ops.pallas_swin_block as psb
+        from geovpr.models.swin import repartition, shifted_window_mask
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                psb.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        h = w = 24
+        win, s = 12, 6
+        nwx = nwy = 2
+        n, c, heads, b = win * win, 128, 4, 2
+        bw = b * nwx * nwy
+        p = self._params(heads, c, n)
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.normal(size=(bw, n, c)).astype(np.float32))
+        assert psb.swin_rolled_ok(n, c, bw, heads, nwx, nwy)
+
+        if sign > 0:
+            # unshifted stream in -> shifted-grouping attention (masked)
+            mask = jnp.asarray(shifted_window_mask(h, w, win, s))
+            ref_in = repartition(x, win, h, w, s)
+        else:
+            # shifted stream in -> unshifted attention (no mask)
+            mask = None
+            ref_in = repartition(x, win, h, w, -s)
+        got = psb.fused_swin_attn_block_rolled(
+            x, p["ln_s"], p["ln_b"], p["wqkv"], p["bqkv"], p["wo"],
+            p["bo"], p["bias"], mask, heads, sign, win, nwx, nwy)
+        want = psb.fused_swin_attn_block(
+            ref_in, p["ln_s"], p["ln_b"], p["wqkv"], p["bqkv"], p["wo"],
+            p["bo"], p["bias"], mask, heads)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_rolled_ok_gate(self):
+        from geovpr.ops.pallas_swin_block import swin_rolled_ok
+
+        assert swin_rolled_ok(144, 128, 8, 4, 2, 2)
+        assert not swin_rolled_ok(49, 96, 8, 4, 2, 2)    # window-7 N
+        assert not swin_rolled_ok(144, 128, 8, 4, 1, 1)  # single window
+        assert not swin_rolled_ok(144, 128, 6, 4, 2, 2)  # bw % nW != 0
+        # a full window-row of score planes must fit the plane budget
+        assert not swin_rolled_ok(144, 128, 1024, 32, 32, 32)

@@ -269,3 +269,38 @@ class TestTrainerInt8Serving:
         with pytest.raises(ValueError, match="int8"):
             build_backbone(ModelConfig(family="efficientnet", variant="b0"),
                            int8=True)
+
+
+def test_swin_int8_alt_layout_matches(monkeypatch):
+    """w8a8 Swin serving under the alternating layout
+    (GEOVPR_SWIN_ALT_LAYOUT) must equal the repartition-based int8 path
+    BIT-EXACTLY — same int8 kernel arithmetic on identically assembled
+    window-rows (kernels interpreted, backend gate patched)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from unittest import mock
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_swin_block as psb
+    from geovpr.models.swin import SwinTransformer
+    from geovpr.models.quantize import quantize_for_serving
+
+    model = SwinTransformer(embed_dim=128, depths=(2, 2), num_heads=(4, 8),
+                            window_size=12, image_size=96, patch_size=4,
+                            drop_path_rate=0.0, int8_mlp=True,
+                            int8_attn=True)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 96, 96, 3)).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    orig = pl.pallas_call
+    monkeypatch.setattr(
+        psb.pl, "pallas_call",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    variables = quantize_for_serving(
+        model, {"params": variables["params"]}, [x])
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_LAYOUT", "0")
+    want = model.apply(variables, x).tokens
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_LAYOUT", "1")
+    got = model.apply(variables, x).tokens
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

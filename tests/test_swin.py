@@ -353,3 +353,38 @@ def test_partitioned_transformer_train_mode(monkeypatch):
     folded = model.apply(v, x, deterministic=False, rngs=rngs).pooled
     np.testing.assert_allclose(np.asarray(folded), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_alt_layout_transformer_matches(monkeypatch):
+    """Full SwinTransformer under the alternating-layout serving mode
+    (GEOVPR_SWIN_ALT_LAYOUT: the fused kernels assemble each window-row in
+    VMEM from the ±shift-rolled predecessor layout instead of the block
+    paying two repartition HBM gathers). Kernel-ELIGIBLE config (C=128,
+    window 12) with the kernels interpreted and the backend gate patched:
+    must equal the repartition-based partitioned path BIT-EXACTLY (same
+    kernel arithmetic on identically assembled windows) and the plain CPU
+    path to fp32 tolerance."""
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_swin_block as psb
+
+    cfg = dict(embed_dim=128, depths=(2, 2), num_heads=(4, 8),
+               window_size=12, image_size=96, drop_path_rate=0.0)
+    model = SwinTransformer(**cfg)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 96, 96, 3))
+    v = model.init(jax.random.PRNGKey(3), x)
+    want_plain = model.apply(v, x).pooled   # CPU XLA path
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        psb.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_LAYOUT", "0")
+    want_part = model.apply(v, x)
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_LAYOUT", "1")
+    got = model.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want_part.tokens))
+    np.testing.assert_allclose(np.asarray(got.pooled),
+                               np.asarray(want_plain),
+                               rtol=5e-5, atol=5e-5)
