@@ -707,6 +707,18 @@ class SwinBlock(nn.Module):
         return x + dp(y, deterministic)
 
 
+class _PKernel(nn.Module):
+    """Bias-less nn.Dense-compatible parameter holder (kernel only)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (self.in_dim, self.out_dim))
+
+
 class PatchMerging(nn.Module):
     """Swin downsample: 2x2 concat -> LN(4C) -> Linear(4C->2C, no bias).
 
@@ -723,9 +735,31 @@ class PatchMerging(nn.Module):
     partitioned: bool = False
     window: int = 0        # this stage's window (partitioned only)
     out_window: int = 0    # next stage's window (partitioned only)
+    # alternating-layout serving boundary: consume the window-resident
+    # stream in the LAST block's `in_shift` layout and emit the next
+    # stage's (unshifted) window layout via the fused Pallas boundary
+    # kernel (ops/pallas_patch_merge.py) — the reverse/roll/concat/
+    # partition relayouts never touch HBM. Driver-gated on
+    # patch_merge_rolled_ok + the serving kernels being live.
+    alt_rolled: bool = False
+    in_shift: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.alt_rolled:
+            c = x.shape[-1]
+            ln_s, ln_b = PScaleBias(4 * c, name="norm")()
+            wk = self.param_holder_reduction(4 * c)
+            from geovpr.ops.pallas_patch_merge import fused_patch_merge_rolled
+            out = fused_patch_merge_rolled(
+                x.astype(self.dtype), ln_s, ln_b, wk.astype(self.dtype),
+                resolution=self.resolution, window=self.window,
+                next_window=self.out_window, shift=self.in_shift,
+                ln_eps=LN_EPS)
+            if out is None:
+                raise RuntimeError(
+                    "alt-rolled PatchMerging on an ineligible boundary")
+            return out
         if self.partitioned:
             x = merge_gather(x, self.resolution, self.window,
                              self.out_window)
@@ -743,6 +777,12 @@ class PatchMerging(nn.Module):
         x = nn.LayerNorm(epsilon=LN_EPS, name="norm", dtype=self.dtype)(x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction",
                         dtype=self.dtype)(x)
+
+    def param_holder_reduction(self, in_dim: int) -> jax.Array:
+        """The reduction kernel with nn.Dense-compatible tree path
+        ("reduction"/"kernel", no bias — matching use_bias=False), for the
+        fused boundary kernel."""
+        return _PKernel(in_dim, 2 * self.dim, name="reduction")()
 
 
 class SwinTransformer(nn.Module):
@@ -879,7 +919,17 @@ class SwinTransformer(nn.Module):
                         and (res // 2) % next_win == 0
                         and os.environ.get("GEOVPR_SWIN_MERGE_FOLD",
                                            "0") == "1")
-            if in_windows and not fold:
+            # alt-layout boundary: the fused Pallas PatchMerging kernel
+            # consumes the shifted window stream and emits the NEXT
+            # stage's window layout directly (ops/pallas_patch_merge.py)
+            from geovpr.ops.pallas_patch_merge import patch_merge_rolled_ok
+            alt_merge = bool(
+                use_alt and cur_shift and next_win
+                and (res // 2) % next_win == 0
+                and os.environ.get("GEOVPR_SWIN_ALT_MERGE", "0") == "1"
+                and patch_merge_rolled_ok(res, dim, win, next_win,
+                                          cur_shift, b * nw_lin ** 2))
+            if in_windows and not fold and not alt_merge:
                 x = window_reverse(x, win, res, res)
                 if cur_shift:
                     # alt-layout stream leaves the stage in the LAST
@@ -894,6 +944,7 @@ class SwinTransformer(nn.Module):
                 x = PatchMerging(dim=dim, resolution=res,
                                  partitioned=fold, window=win,
                                  out_window=next_win,
+                                 alt_rolled=alt_merge, in_shift=cur_shift,
                                  name=f"stage{stage_i}_downsample",
                                  dtype=self.dtype)(x)
                 dim *= 2

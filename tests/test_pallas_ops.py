@@ -1094,3 +1094,58 @@ class TestRolledSwinAttnBlock:
         assert not swin_rolled_ok(144, 128, 6, 4, 2, 2)  # bw % nW != 0
         # a full window-row of score planes must fit the plane budget
         assert not swin_rolled_ok(144, 128, 1024, 32, 32, 32)
+
+
+class TestFusedPatchMergeRolled:
+    """Fused alt-layout PatchMerging boundary kernel: one pass must equal
+    window_reverse -> roll(+shift) -> HF 2x2 concat -> LN -> reduction ->
+    next-stage window_partition."""
+
+    @pytest.mark.parametrize("res,c", [(48, 128), (24, 256)])
+    def test_matches_boundary_chain(self, monkeypatch, res, c):
+        import geovpr.ops.pallas_patch_merge as ppm
+        from geovpr.models.swin import window_partition, window_reverse
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                ppm.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        win, shift, b = 12, 6, 2
+        nw = (res // win) ** 2
+        rng = np.random.default_rng(9)
+        x = jnp.asarray(rng.normal(size=(b * nw, win * win, c)
+                                   ).astype(np.float32))
+        ln_s = jnp.asarray(rng.normal(size=4 * c).astype(np.float32) * 0.1
+                           + 1.0)
+        ln_b = jnp.asarray(rng.normal(size=4 * c).astype(np.float32) * 0.1)
+        w = jnp.asarray(rng.normal(size=(4 * c, 2 * c)
+                                   ).astype(np.float32) * 0.05)
+
+        got = ppm.fused_patch_merge_rolled(
+            x, ln_s, ln_b, w, resolution=res, window=win, next_window=win,
+            shift=shift)
+        assert got is not None
+
+        xr = jnp.roll(window_reverse(x, win, res, res), (shift, shift),
+                      axis=(1, 2))
+        m = jnp.concatenate([
+            xr[:, 0::2, 0::2, :], xr[:, 1::2, 0::2, :],
+            xr[:, 0::2, 1::2, :], xr[:, 1::2, 1::2, :]], axis=-1)
+        mf = m.astype(jnp.float32)
+        mu = mf.mean(-1, keepdims=True)
+        var = ((mf - mu) ** 2).mean(-1, keepdims=True)
+        ln = (mf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+        want = window_partition(ln @ w, win)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_gate(self):
+        from geovpr.ops.pallas_patch_merge import patch_merge_rolled_ok
+
+        assert patch_merge_rolled_ok(48, 128, 12, 12, 6, 32)
+        assert not patch_merge_rolled_ok(48, 128, 12, 6, 6, 32)  # win change
+        assert not patch_merge_rolled_ok(48, 128, 12, 12, 0, 32)  # no shift
+        assert not patch_merge_rolled_ok(14, 96, 7, 7, 3, 8)     # c % 128
+        assert not patch_merge_rolled_ok(12, 128, 12, 12, 6, 2)  # 1 row

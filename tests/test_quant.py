@@ -273,9 +273,12 @@ class TestTrainerInt8Serving:
 
 def test_swin_int8_alt_layout_matches(monkeypatch):
     """w8a8 Swin serving under the alternating layout
-    (GEOVPR_SWIN_ALT_LAYOUT) must equal the repartition-based int8 path
-    BIT-EXACTLY — same int8 kernel arithmetic on identically assembled
-    window-rows (kernels interpreted, backend gate patched)."""
+    (GEOVPR_SWIN_ALT_LAYOUT) must closely match the repartition-based
+    int8 path (kernels interpreted, backend gate patched). The attention
+    kernels are bit-exact; the fused PatchMerging boundary kernel's f32
+    LN vs flax's bf16 LN moves a few int8 quantization decisions, so the
+    comparison carries a small tolerance (measured: tokens ≤1.3% of max,
+    pooled cosine ≥ 0.999997)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -300,7 +303,14 @@ def test_swin_int8_alt_layout_matches(monkeypatch):
     variables = quantize_for_serving(
         model, {"params": variables["params"]}, [x])
     monkeypatch.setenv("GEOVPR_SWIN_ALT_LAYOUT", "0")
-    want = model.apply(variables, x).tokens
+    want = model.apply(variables, x)
     monkeypatch.setenv("GEOVPR_SWIN_ALT_LAYOUT", "1")
-    got = model.apply(variables, x).tokens
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # exercise the (default-off, measured-futile) fused boundary kernel too
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_MERGE", "1")
+    got = model.apply(variables, x)
+    gt, wt = np.asarray(got.tokens), np.asarray(want.tokens)
+    assert np.abs(gt - wt).max() <= 0.05 * np.abs(wt).max()
+    gp, wp = np.asarray(got.pooled), np.asarray(want.pooled)
+    cos = (gp * wp).sum(-1) / (np.linalg.norm(gp, axis=-1)
+                               * np.linalg.norm(wp, axis=-1))
+    assert cos.min() >= 0.9999

@@ -359,11 +359,13 @@ def test_alt_layout_transformer_matches(monkeypatch):
     """Full SwinTransformer under the alternating-layout serving mode
     (GEOVPR_SWIN_ALT_LAYOUT: the fused kernels assemble each window-row in
     VMEM from the ±shift-rolled predecessor layout instead of the block
-    paying two repartition HBM gathers). Kernel-ELIGIBLE config (C=128,
-    window 12) with the kernels interpreted and the backend gate patched:
-    must equal the repartition-based partitioned path BIT-EXACTLY (same
-    kernel arithmetic on identically assembled windows) and the plain CPU
-    path to fp32 tolerance."""
+    paying two repartition HBM gathers), including the fused PatchMerging
+    boundary kernel. Kernel-ELIGIBLE config (C=128, window 12) with the
+    kernels interpreted and the backend gate patched: must equal the
+    repartition-based partitioned path to fp32 tolerance (the attention
+    kernels are bit-exact — same arithmetic on identically assembled
+    windows; the boundary kernel's f32 LN differs from flax's in the last
+    ulps) and the plain CPU path likewise."""
     from jax.experimental import pallas as pl
     import geovpr.ops.pallas_swin_block as psb
 
@@ -382,9 +384,12 @@ def test_alt_layout_transformer_matches(monkeypatch):
     monkeypatch.setenv("GEOVPR_SWIN_ALT_LAYOUT", "0")
     want_part = model.apply(v, x)
     monkeypatch.setenv("GEOVPR_SWIN_ALT_LAYOUT", "1")
+    # exercise the (default-off, measured-futile) fused boundary kernel too
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_MERGE", "1")
     got = model.apply(v, x)
-    np.testing.assert_array_equal(np.asarray(got.tokens),
-                                  np.asarray(want_part.tokens))
+    np.testing.assert_allclose(np.asarray(got.tokens),
+                               np.asarray(want_part.tokens),
+                               rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.pooled),
                                np.asarray(want_plain),
                                rtol=5e-5, atol=5e-5)
