@@ -1,15 +1,17 @@
 """Pallas TPU fused PatchMerging stage boundary for the alternating
-window layout (serving). **MEASURED-FUTILE — default OFF**
-(`GEOVPR_SWIN_ALT_MERGE=1` to enable): Swin-B-384 int8 eval B=64 ran
-52.24 ms with the XLA boundary vs 53.61 ms with this kernel
-(same-session A/B, benches/SWIN_EVAL_ALT_r04.log, round 4). XLA fuses
-the boundary's strided 2x2 concat into the LayerNorm/reduction matmul it
-feeds, so the HBM layout round-trips this kernel deletes largely don't
-exist, while the kernel pays a real 3x re-read of the stage activation
-(each window-row feeds three programs) plus VMEM stripe shuffles. Kept,
-tested, off — the fourth data point for the repo's boundary rule: a
-fused/gathered relayout only wins where it replaces the 3-op
-reverse+roll+partition chain, never a boundary XLA already fuses.
+window layout (serving). **SURFACE-DEPENDENT** — default OFF standalone
+(`GEOVPR_SWIN_ALT_MERGE=1` to enable), default ON inside `FusedPipeline`:
+Swin-B-384 int8 eval B=64 ran 52.24 ms with the XLA boundary vs 53.61 ms
+with this kernel (same-session A/B, benches/SWIN_EVAL_ALT_r04.log) — XLA
+fuses the boundary's strided 2x2 concat into the LayerNorm/reduction
+matmul it feeds in the lone-backbone program, while the kernel pays a
+real 3x re-read of the stage activation (each window-row feeds three
+programs). But inside the fused three-head serving program that XLA
+fusion doesn't survive the scheduling, and this kernel WINS decisively:
+fuse 855.0 vs 808.0 img/s, geopose leg 49.4 vs 53.1 ms, 4/4 consistent
+same-session runs (benches/FUSE_AB_r04.log). Per-surface measured
+defaults; the repo-wide lesson: an XLA-vs-kernel verdict is a property
+of the WHOLE program, not the op.
 
 What it does when enabled: with `GEOVPR_SWIN_ALT_LAYOUT` serving
 (models/swin.py), a stage's stream ends window-partitioned in the LAST
