@@ -759,3 +759,29 @@ print("DONE", start)
         assert list(a.files) == list(b.files) and len(a.files) > 0
         for k in a.files:
             np.testing.assert_array_equal(a[k], b[k])
+
+    def test_auto_resume_on_completed_run_is_idempotent(self, tmp_path):
+        """The round-4 hardware journey's leg 3: relaunching the EXACT
+        same command on an already-finished run must restore at `epochs`,
+        run zero further epochs, and leave the final parameters
+        byte-identical — the crash-loop-safe behavior of --auto-resume."""
+        script = str(tmp_path / "runner.py")
+        with open(script, "w") as f:
+            f.write(self.RUNNER)
+        d = str(tmp_path / "c")
+
+        proc = self._launch(script, d, 2, 0.0)
+        out, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, out
+        assert "DONE 0" in out
+        first = np.load(os.path.join(d, "final_params.npz"))
+        first = {k: np.array(v) for k, v in first.items()}
+
+        proc = self._launch(script, d, 2, 0.0)
+        out, _ = proc.communicate(timeout=600)
+        assert proc.returncode == 0, out
+        assert "DONE 2" in out  # restored past the last epoch: no work left
+        again = np.load(os.path.join(d, "final_params.npz"))
+        assert list(again.files) == list(first.keys())
+        for k in again.files:
+            np.testing.assert_array_equal(again[k], first[k])
