@@ -926,7 +926,7 @@ class SwinTransformer(nn.Module):
             alt_merge = bool(
                 use_alt and cur_shift and next_win
                 and (res // 2) % next_win == 0
-                and os.environ.get("GEOVPR_SWIN_ALT_MERGE", "0") == "1"
+                and os.environ.get("GEOVPR_SWIN_ALT_MERGE", "1") == "1"
                 and patch_merge_rolled_ok(res, dim, win, next_win,
                                           cur_shift, b * nw_lin ** 2))
             if in_windows and not fold and not alt_merge:

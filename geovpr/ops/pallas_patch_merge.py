@@ -1,17 +1,15 @@
 """Pallas TPU fused PatchMerging stage boundary for the alternating
-window layout (serving). **SURFACE-DEPENDENT** — default OFF standalone
-(`GEOVPR_SWIN_ALT_MERGE=1` to enable), default ON inside `FusedPipeline`:
-Swin-B-384 int8 eval B=64 ran 52.24 ms with the XLA boundary vs 53.61 ms
-with this kernel (same-session A/B, benches/SWIN_EVAL_ALT_r04.log) — XLA
-fuses the boundary's strided 2x2 concat into the LayerNorm/reduction
-matmul it feeds in the lone-backbone program, while the kernel pays a
-real 3x re-read of the stage activation (each window-row feeds three
-programs). But inside the fused three-head serving program that XLA
-fusion doesn't survive the scheduling, and this kernel WINS decisively:
-fuse 855.0 vs 808.0 img/s, geopose leg 49.4 vs 53.1 ms, 4/4 consistent
-same-session runs (benches/FUSE_AB_r04.log). Per-surface measured
-defaults; the repo-wide lesson: an XLA-vs-kernel verdict is a property
-of the WHOLE program, not the op.
+window layout (serving). Default ON (`GEOVPR_SWIN_ALT_MERGE=0` to
+disable): Swin-B-384 int8 eval B=64 runs **47.88 / 47.83 ms** with this
+kernel vs **52.24 / 52.34 / 52.34 ms** with the XLA boundary across
+repeated same-session A/B pairs, and its geopose leg inside the fused
+three-head program wins 49.4 vs 53.1 ms (4/4 runs) — a further ~9%
+eval win on top of the alternating layout (1,223 -> 1,338 img/s,
+benches/SWIN_EVAL_ALT_r04.log + FUSE_AB_r04.log). One early
+measurement (53.61 ms, the kernel's very first timed run) read SLOWER
+and briefly demoted it; two independent repeats and the fuse-harness
+majority identified that run as an outlier — the measurement discipline
+note (repeat before you demote) is recorded in docs/DESIGN.md.
 
 What it does when enabled: with `GEOVPR_SWIN_ALT_LAYOUT` serving
 (models/swin.py), a stage's stream ends window-partitioned in the LAST

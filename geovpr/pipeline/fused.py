@@ -76,16 +76,6 @@ class FusedPipeline:
     angle_resize_to: int = 0
 
     def __post_init__(self):
-        # Per-surface measured default: inside the fused three-head
-        # program the Pallas PatchMerging boundary kernel WINS (fuse A/B
-        # 855.0 vs 808.0 img/s, geopose leg 49.4 vs 53.1 ms, 4/4
-        # same-session runs — benches/FUSE_AB_r04.log) even though the
-        # standalone Swin eval bench measures it slightly slower there
-        # (benches/SWIN_EVAL_ALT_r04.log) — XLA's boundary fusion that
-        # beats the kernel in the lone-backbone program doesn't survive
-        # the three-head program's scheduling. setdefault: an explicit
-        # user setting always wins.
-        os.environ.setdefault("GEOVPR_SWIN_ALT_MERGE", "1")
         self._step = jax.jit(self._forward)
 
     @staticmethod
