@@ -1167,7 +1167,11 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
     if wb == 0 or n % 16 != 0 or c % 128 != 0:
         return None
 
-    g = _pack_group(num_heads, dh, train=False)
+    # the qk8 core (`_swin_attention_stages_qk8`) has no lane-packed
+    # variant — its bias/mask indexing is row-stacked; under
+    # GEOVPR_SWIN_PACKED=all the packed bias prep would feed it
+    # mismatched shapes (found by the round-4 knob re-test)
+    g = 1 if cs is not None else _pack_group(num_heads, dh, train=False)
     xf = xw.reshape(bw * n, c)
     bias_f = _prep_bias(bias, num_heads, n, g)
     has_mask = mask is not None

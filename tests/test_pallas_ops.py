@@ -974,6 +974,36 @@ class TestFusedSwinAttnBlock:
                                        rtol=2e-4, atol=2e-4)
 
 
+    def test_int8_qk8_with_packed_all_falls_back_to_unpacked(
+            self, monkeypatch):
+        """GEOVPR_SWIN_PACKED=all + int8 score matmuls: the qk8 core has
+        no lane-packed variant, so the serving entry must force g=1
+        (regression: the packed bias prep used to feed the row-stacked
+        qk8 core (n, H*n) bias and crash at trace — found by the round-4
+        knob re-test on hardware)."""
+        from geovpr.ops.quant import quantize_weight
+        m = self._patch(monkeypatch)
+        bw, n, c, h, nw = 8, 16, 128, 2, 4
+        xw, ln_s, ln_b, wqkv, bqkv, wo, bo, bias, mask = self._mk(
+            bw, n, c, h, nw, True)
+        a_x, a_ctx, a_q, a_k = 0.11, 0.07, 0.05, 0.06
+        wqkv_q, sqkv = quantize_weight(wqkv)
+        wo_q, so = quantize_weight(wo)
+        col3 = jnp.arange(3 * c)
+        thirds = jnp.where(col3 < c, 1.0 / a_q,
+                           jnp.where(col3 < 2 * c, 1.0 / a_k, 1.0 / a_ctx))
+        cs = jnp.float32(a_q * a_k * (c // h) ** -0.5)
+        args = (ln_s / a_x, ln_b / a_x, wqkv_q, a_x * sqkv * thirds,
+                bqkv * thirds, wo_q, a_ctx * so, bo)
+        want = m.fused_swin_attn_block_int8(xw, *args, bias, mask, h, 1e-5,
+                                            cs=cs * m._LOG2E)
+        monkeypatch.setattr(m, "_PACKED_MODE", "all")
+        got = m.fused_swin_attn_block_int8(xw, *args, bias, mask, h, 1e-5,
+                                           cs=cs * m._LOG2E)
+        assert got is not None
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 class TestFusedMlpInt8Kernel:
     """fused_mlp_block_int8 vs a jnp replica of its exact arithmetic —
     interpreter mode on CPU (on-chip fidelity is asserted by bench.py's
