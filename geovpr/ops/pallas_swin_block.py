@@ -562,7 +562,9 @@ def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
                   wo_ref, bo_ref, bias_ref, mask_ref,
                   o_ref, qkv_out_ref, ctx_out_ref, p_out_ref,
                   *, num_heads: int, n: int, wb: int, nw: int, scale: float,
-                  ln_eps: float, has_mask: bool, g: int = 1):
+                  ln_eps: float, has_mask: bool, g: int = 1,
+                  x2_ref=None, xr_ref=None, window: int = 0,
+                  nw_x: int = 0, roll_sign: int = 0):
     """Training-forward variant of `_kernel`: additionally materializes the
     qkv projections (post-bias, UNSCALED — the backward contract), the
     attention context, and the NORMALIZED probability planes (heads packed
@@ -573,10 +575,23 @@ def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     dominates the block (docs/DESIGN.md). Emits
     y = proj(attention(LN(x))) WITHOUT the residual add — DropPath rides
     outside in XLA (the train path has stochastic depth, which a fused
-    residual could not honor)."""
+    residual could not honor).
+
+    `roll_sign` (with x2_ref/xr_ref/window/nw_x) is the alternating-layout
+    TRAINING mode: the window-row arrives in the PREVIOUS block's shift
+    layout; the kernel assembles this block's layout in VMEM
+    (`_roll_assemble`) and ALSO writes the assembled stream to `xr_ref` —
+    the caller's residual shortcut (and the backward's LN-recompute
+    input), replacing both HBM `repartition` gathers of the canonical
+    train path."""
     m, d = x_ref.shape
 
-    x_raw = x_ref[:]
+    if roll_sign:
+        x_raw = _roll_assemble(x_ref[:], x2_ref[:], window=window,
+                               nw_x=nw_x, sign=roll_sign)
+        xr_ref[:] = x_raw
+    else:
+        x_raw = x_ref[:]
     xf = x_raw.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
@@ -599,6 +614,15 @@ def _train_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref, bqkv_ref,
     out = jnp.dot(ctx_out_ref[:], wo_ref[:],
                   preferred_element_type=jnp.float32)
     o_ref[:] = (out + bo_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _train_kernel_rolled(x_ref, x2_ref, *rest, **params):
+    """Positional-ref adapter for the rolled training forward: inputs
+    (x, x2, ...weights...), outputs (o, qkv, ctx, p, xr) — xr (the
+    VMEM-assembled stream) rides as the LAST output so the shared body's
+    o/qkv/ctx/p positions are unchanged."""
+    _train_kernel(x_ref, *rest[:-1], x2_ref=x2_ref, xr_ref=rest[-1],
+                  **params)
 
 
 def _bwd_head_chunk(n: int, num_heads: int) -> int:
@@ -1238,14 +1262,21 @@ def fused_swin_attn_block_int8(xw, ln_scale_q, ln_bias_q, wqkv_q, sqkv_eff,
 
 # --------------------------------------------------------------- training
 def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
-                           bias, mask, num_heads: int, ln_eps: float):
-    """Training forward: returns (y, qkv, ctx, p) with qkv/ctx/p flat
-    (BW*N, ·) — internal residuals consumed by the structured backward;
-    p is the normalized probability planes, heads packed in lanes."""
+                           bias, mask, num_heads: int, ln_eps: float,
+                           roll_sign: int = 0, window: int = 0,
+                           nw_x: int = 0, nw_y: int = 0):
+    """Training forward: returns (y, qkv, ctx, p[, xr]) with qkv/ctx/p
+    flat (BW*N, ·) — internal residuals consumed by the structured
+    backward; p is the normalized probability planes, heads packed in
+    lanes. With `roll_sign` (alternating-layout training) the stream
+    arrives rolled by the previous block's shift, each program assembles
+    its window-row in VMEM from two adjacent source rows, and the
+    assembled stream `xr` is returned as a 5th output (residual shortcut
+    + backward LN input)."""
     bw, n, c = xw.shape
     dh = c // num_heads
     scale = dh ** -0.5
-    wb = pick_windows_per_program(bw, n, num_heads)
+    wb = nw_x if roll_sign else pick_windows_per_program(bw, n, num_heads)
     g = _pack_group(num_heads, dh)
     xf = xw.reshape(bw * n, c)
     bias_f = _prep_bias(bias, num_heads, n, g)
@@ -1257,24 +1288,39 @@ def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
         nw = 1
         mask_f = jnp.zeros((n, n), jnp.float32)
 
-    kernel = functools.partial(_train_kernel, num_heads=num_heads, n=n,
+    base = _train_kernel_rolled if roll_sign else _train_kernel
+    kernel = functools.partial(base, num_heads=num_heads, n=n,
                                wb=wb, nw=nw, scale=scale, ln_eps=ln_eps,
-                               has_mask=has_mask, g=g)
+                               has_mask=has_mask, g=g,
+                               **({"window": window, "nw_x": nw_x,
+                                   "roll_sign": roll_sign}
+                                  if roll_sign else {}))
     whole = lambda i: (0, 0)
     vec = lambda i: (0,)
     row_spec = lambda width: pl.BlockSpec((wb * n, width), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM)
-    y, qkv, ctx, p = pl.pallas_call(
+    if roll_sign:
+        x_specs = _rolled_x_specs(n, c, nw_x, nw_y, roll_sign)
+        x_args = (xf, xf)
+    else:
+        x_specs = [row_spec(c)]
+        x_args = (xf,)
+    out_shape = [
+        jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
+        jax.ShapeDtypeStruct((bw * n, 3 * c), xw.dtype),
+        jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
+        jax.ShapeDtypeStruct((bw * n, num_heads * n), xw.dtype),
+    ]
+    out_specs = [row_spec(c), row_spec(3 * c), row_spec(c),
+                 row_spec(num_heads * n)]
+    if roll_sign:
+        out_shape.append(jax.ShapeDtypeStruct((bw * n, c), xw.dtype))
+        out_specs.append(row_spec(c))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
-            jax.ShapeDtypeStruct((bw * n, 3 * c), xw.dtype),
-            jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
-            jax.ShapeDtypeStruct((bw * n, num_heads * n), xw.dtype),
-        ),
+        out_shape=tuple(out_shape),
         grid=(bw // wb,),
-        in_specs=[
-            row_spec(c),
+        in_specs=x_specs + [
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c,), vec, memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), whole, memory_space=pltpu.VMEM),
@@ -1285,17 +1331,21 @@ def _swin_train_fwd_pallas(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
             pl.BlockSpec((nw * n, n) if has_mask else (n, n), whole,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(row_spec(c), row_spec(3 * c), row_spec(c),
-                   row_spec(num_heads * n)),
+        out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=8 * bw * n * c * c + 4 * bw * num_heads * n * n * dh,
-            bytes_accessed=(6 * bw * n * c + bw * num_heads * n * n)
+            bytes_accessed=((6 + (2 if roll_sign else 0)) * bw * n * c
+                            + bw * num_heads * n * n)
                            * xw.dtype.itemsize,
             transcendentals=bw * num_heads * n * n),
-    )(xf, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias_f, mask_f)
+    )(*x_args, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias_f, mask_f)
+    if roll_sign:
+        y, qkv, ctx, p, xr = outs
+        return y.reshape(bw, n, c), qkv, ctx, p, xr.reshape(bw, n, c)
+    y, qkv, ctx, p = outs
     return y.reshape(bw, n, c), qkv, ctx, p
 
 
@@ -1377,6 +1427,15 @@ def _train_fwd(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
 
 def _train_bwd(num_heads, ln_eps, res, g):
     xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, qkv, ctx, p = res
+    return _train_bwd_core(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                           bias, mask, qkv, ctx, p, g, num_heads, ln_eps)
+
+
+def _train_bwd_core(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
+                    qkv, ctx, p, g, num_heads, ln_eps):
+    """Structured-backward body shared by the canonical and rolled train
+    entries: returns the 9 input cotangents (dx in xw's OWN layout — the
+    rolled entry converts afterwards)."""
     bw, n, c = xw.shape
 
     if _bwd_fused_ok(n, c, bw, num_heads):
@@ -1426,3 +1485,101 @@ def _train_bwd(num_heads, ln_eps, res, g):
 
 
 fused_swin_attn_train.defvjp(_train_fwd, _train_bwd)
+
+
+def _relayout_kernel(x_ref, x2_ref, o_ref, *, window: int, nw_x: int,
+                     roll_sign: int):
+    o_ref[:] = _roll_assemble(x_ref[:], x2_ref[:], window=window,
+                              nw_x=nw_x, sign=roll_sign)
+
+
+def roll_relayout(xw, roll_sign: int, window: int, nw_x: int, nw_y: int):
+    """Standalone ±(window//2) layout conversion of a window-partitioned
+    stream as a Pallas kernel: each program reads two adjacent source
+    window-rows and writes one assembled target row (`_roll_assemble`) —
+    sequential whole-row traffic instead of the `repartition` HBM gather.
+    Used by the rolled TRAINING backward to return dx from a block's own
+    layout to its input layout (sign is the INVERSE of the forward
+    assembly's)."""
+    bw, n, c = xw.shape
+    wb = nw_x
+    xf = xw.reshape(bw * n, c)
+    out = pl.pallas_call(
+        functools.partial(_relayout_kernel, window=window, nw_x=nw_x,
+                          roll_sign=roll_sign),
+        out_shape=jax.ShapeDtypeStruct((bw * n, c), xw.dtype),
+        grid=(bw // wb,),
+        in_specs=_rolled_x_specs(n, c, nw_x, nw_y, roll_sign),
+        out_specs=pl.BlockSpec((wb * n, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=3 * bw * n * c * xw.dtype.itemsize,
+            transcendentals=0),
+    )(xf, xf)
+    return out.reshape(bw, n, c)
+
+
+def swin_train_rolled_ok(n: int, c: int, bw: int, num_heads: int,
+                         nw_x: int, nw_y: int) -> bool:
+    """Eligibility for the alternating-layout TRAINING kernels: the
+    serving rolled gate (whole window-rows per program, plane budget at
+    wb=nw_x) plus the train kernel's own shape gate."""
+    return (swin_rolled_ok(n, c, bw, num_heads, nw_x, nw_y)
+            and swin_block_kernel_ok(n, c, bw, num_heads))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def fused_swin_attn_train_rolled(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo,
+                                 bias, mask, num_heads: int, ln_eps: float,
+                                 roll_sign: int, window: int, nw_x: int,
+                                 nw_y: int):
+    """Alternating-layout TRAINING half-block (VERDICT r4 next-item #1):
+    xw arrives in the PREVIOUS block's shift layout; the forward kernel
+    assembles this block's layout in VMEM (`_roll_assemble`) and returns
+    (y, x_rolled) — y = proj(attention(LN(x_rolled))) WITHOUT residual
+    (DropPath rides outside, as in `fused_swin_attn_train`) and x_rolled
+    as the caller's residual shortcut, both in THIS block's layout. The
+    canonical train path pays four HBM `repartition` gathers per shifted
+    block (two forward, two in the VJP); this pays one extra stream write
+    forward (x_rolled) and one `roll_relayout` kernel pass backward.
+    Structured backward: identical `_train_bwd_core` on the stored
+    (x_rolled, qkv, ctx, p) residuals, then dx (+ the x_rolled output's
+    own cotangent) is converted back to the INPUT layout with the inverse
+    assembly. Caller must pre-check `swin_train_rolled_ok`."""
+    y, _, _, _, xr = _swin_train_fwd_pallas(
+        xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, num_heads,
+        ln_eps, roll_sign=roll_sign, window=window, nw_x=nw_x, nw_y=nw_y)
+    return y, xr
+
+
+def _train_rolled_fwd(xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias,
+                      mask, num_heads, ln_eps, roll_sign, window, nw_x,
+                      nw_y):
+    y, qkv, ctx, p, xr = _swin_train_fwd_pallas(
+        xw, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, num_heads,
+        ln_eps, roll_sign=roll_sign, window=window, nw_x=nw_x, nw_y=nw_y)
+    return (y, xr), (ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask,
+                     qkv, ctx, p, xr)
+
+
+def _train_rolled_bwd(num_heads, ln_eps, roll_sign, window, nw_x, nw_y,
+                      res, cts):
+    (ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias, mask, qkv, ctx, p,
+     xr) = res
+    gy, gxr = cts
+    (dxr, dls, dlb, dwqkv, dbqkv, dwo, dbo, dbias, dmask
+     ) = _train_bwd_core(xr, ln_scale, ln_bias, wqkv, bqkv, wo, bo, bias,
+                         mask, qkv, ctx, p, gy, num_heads, ln_eps)
+    # the x_rolled output feeds the residual add outside -> its cotangent
+    # joins dx in the ASSEMBLED layout, then one inverse assembly maps the
+    # sum back to the input layout
+    dx = roll_relayout(dxr + gxr.astype(dxr.dtype), -roll_sign, window,
+                       nw_x, nw_y)
+    return (dx, dls, dlb, dwqkv, dbqkv, dwo, dbo, dbias, dmask)
+
+
+fused_swin_attn_train_rolled.defvjp(_train_rolled_fwd, _train_rolled_bwd)

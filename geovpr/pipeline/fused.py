@@ -118,15 +118,31 @@ class FusedPipeline:
         y = jnp.einsum("th,bhwc->btwc", w, x)
         return jnp.einsum("tw,bhwc->bhtc", w, y)
 
+    def _head_input(self, x_scaled, size: int, resize_to: int = 0):
+        """One head's normalized input from the shared [0,1]-scaled raw
+        stream: RESIZE FIRST, then the per-channel affine (x - mean)/std.
+        Normalize is affine and the bilinear resize rows sum to 1
+        (partition of unity), so the two commute exactly up to float
+        rounding — and resize-first means (a) the downsizing einsums read
+        the raw stream directly (no normalized full-resolution tensor
+        materialized for them), and (b) XLA fuses the affine into the
+        second resize matmul's epilogue, making per-head normalize free.
+        Measured round 5 (benches/FUSE_NORMFOLD_r05.log) vs the round-4
+        normalize-at-stream-resolution scheme flagged in VERDICT r4."""
+        y = self._resize_for_head(x_scaled, size, resize_to)
+        return normalize(y, self.mean, self.std)
+
     def _forward(self, geo_v, ang_v, desc_v, images, images_alt=None):
         # variables are traced ARGUMENTS — closing over them would bake
         # every weight into the executable as XLA constants (compile time
         # and HBM roughly double, and swapping variables becomes a no-op)
-        x = normalize(images, self.mean, self.std)
+        x = images.astype(jnp.float32)
+        if images.dtype == jnp.uint8:
+            x = x / 255.0
         out = {}
         if self.geopose_model is not None:
             preds = self.geopose_model.apply(
-                geo_v, self._resize_for_head(x, self.geopose_size),
+                geo_v, self._head_input(x, self.geopose_size),
                 train=False, deterministic=True)
             if self.geopose_scaler is not None:
                 preds = self.geopose_scaler.inverse_transform(preds)
@@ -137,8 +153,8 @@ class FusedPipeline:
                 # exact short-side+crop eval view — use it verbatim
                 ang_x = normalize(images_alt, self.mean, self.std)
             else:
-                ang_x = self._resize_for_head(x, self.angle_size,
-                                              self.angle_resize_to)
+                ang_x = self._head_input(x, self.angle_size,
+                                         self.angle_resize_to)
             raw = self.angle_model.apply(
                 ang_v, ang_x,
                 train=False, deterministic=True)
@@ -148,7 +164,7 @@ class FusedPipeline:
                 out["angle"] = jnp.mod(raw[..., 0], 360.0)
         if self.descriptor_model is not None:
             out["descriptor"] = self.descriptor_model.apply(
-                desc_v, self._resize_for_head(x, self.descriptor_size),
+                desc_v, self._head_input(x, self.descriptor_size),
                 train=False, deterministic=True).pooled
         return out
 

@@ -62,6 +62,90 @@ def _quantize_rows(x: jax.Array):
     return q, scale
 
 
+def chunk_topk(qb, qsb, db, db_scale, k: int, *, db_block: int = 0,
+               col_offset=0, n_real: Optional[int] = None,
+               method: str = "exact", recall: float = 0.95):
+    """Top-k of the cosine-score plane for ONE query block against `db`
+    rows, with three execution strategies (measured round 5, 1M x 8448
+    int8 gallery on one v5e — benches/RETRIEVAL_OPT_r05.log):
+
+    - ``db_block=0`` single-shot: one (Q, rows) plane + one full-width
+      `lax.top_k`. The 1M-wide top_k costs ~35% of the step and the f32
+      plane (4.3 GB at chunk=1024) caps the query chunk.
+    - ``db_block=N`` two-stage blocked EXACT top-k: `lax.map` over row
+      blocks, per-block top-min(k, N) (every true global top-k entry is in
+      its own block's top-k — pigeonhole), then one merge top-k over the
+      (Q, nb*k) candidate strip. The full plane never materializes (one
+      (Q, N) block live), so the 1M-wide sort disappears AND the query
+      chunk can grow past the plane's HBM cap. A non-multiple row tail is
+      handled as one extra narrow block.
+    - ``method="approx"``: `jax.lax.approx_max_k` (the TPU-native
+      PartialReduce top-k) instead of exact `lax.top_k`, at the given
+      `recall_target` per call — composes with db_block.
+
+    Padded gallery rows (col_offset + local col >= n_real) are masked to
+    -inf IN THE PLANE, before any top-k: masking after the reduction (the
+    round-4 scheme) could let a padded zero-score row displace a real
+    negative-cosine candidate from a shard's local top-k and lose it
+    (tests/test_retrieval.py::test_sharded_padded_negative_scores).
+    `col_offset` may be traced (the mesh path passes
+    axis_index * shard_rows)."""
+    n_rows = db.shape[0]
+    mask_needed = n_real is not None
+
+    def reduce_k(plane, kk):
+        if method == "approx":
+            return jax.lax.approx_max_k(plane, kk, recall_target=recall)
+        return jax.lax.top_k(plane, kk)
+
+    def score(dbb, dsb, off):
+        plane = DescriptorIndex._scores(qb, qsb, dbb, dsb)
+        if mask_needed:
+            col = jax.lax.broadcasted_iota(jnp.int32, plane.shape, 1)
+            plane = jnp.where(col_offset + off + col < n_real, plane,
+                              -jnp.inf)
+        return plane
+
+    if not db_block or n_rows <= db_block:
+        s, i = reduce_k(score(db, db_scale, 0), k)
+        return s, i.astype(jnp.int32)
+
+    nb = n_rows // db_block
+    rem = n_rows - nb * db_block
+    kb = min(k, db_block)
+    offs = jnp.arange(nb, dtype=jnp.int32) * db_block
+    main = db[:nb * db_block].reshape(nb, db_block, db.shape[1])
+
+    def one(args):
+        if db_scale is None:
+            dbb, off = args
+            dsb = None
+        else:
+            dbb, dsb, off = args
+        s, i = reduce_k(score(dbb, dsb, off), kb)
+        return s, i.astype(jnp.int32) + off
+
+    if db_scale is None:
+        ss, ii = jax.lax.map(one, (main, offs))
+    else:
+        mains = db_scale[:nb * db_block].reshape(nb, db_block)
+        ss, ii = jax.lax.map(one, (main, mains, offs))
+    q_n = ss.shape[1]
+    cand_s = ss.transpose(1, 0, 2).reshape(q_n, nb * kb)
+    cand_i = ii.transpose(1, 0, 2).reshape(q_n, nb * kb)
+    if rem:
+        kt = min(k, rem)
+        ts, ti = reduce_k(
+            score(db[nb * db_block:],
+                  None if db_scale is None else db_scale[nb * db_block:],
+                  nb * db_block), kt)
+        cand_s = jnp.concatenate([cand_s, ts], axis=1)
+        cand_i = jnp.concatenate(
+            [cand_i, ti.astype(jnp.int32) + nb * db_block], axis=1)
+    best, pos = jax.lax.top_k(cand_s, k)
+    return best, jnp.take_along_axis(cand_i, pos, axis=1)
+
+
 @dataclasses.dataclass
 class DescriptorIndex:
     """On-device descriptor database with sharded search.
@@ -92,6 +176,16 @@ class DescriptorIndex:
     # (Q, shard_rows) — a 100k-query sweep of a 1M-row gallery would
     # otherwise materialize a 400 GB plane and OOM HBM. 0 disables chunking.
     query_chunk: int = 1024
+    # database-row block size for the two-stage blocked top-k (see
+    # `chunk_topk`): per-block top-k under a lax.map, then one merge top-k
+    # over the candidate strip — exact, the full (chunk, rows) plane never
+    # materializes, and the rows-wide sort disappears. 0 = single-shot.
+    # Default 131072: measured round 5 at 1M x 8448 int8 (A/B in
+    # benches/RETRIEVAL_OPT_r05.log).
+    db_block: int = 131072
+    # "exact" (lax.top_k) or "approx" (lax.approx_max_k at approx_recall)
+    topk_method: str = "exact"
+    approx_recall: float = 0.95
     _db: Optional[jax.Array] = None
     _db_scale: Optional[jax.Array] = None
     _n: int = 0
@@ -131,19 +225,32 @@ class DescriptorIndex:
 
         `total` must equal the summed chunk rows (checked)."""
         if self.mesh is not None:
-            rows_np, scale_np = [], []
+            # one preallocated host destination, filled chunk-by-chunk —
+            # list-append + concatenate would transiently hold the staged
+            # gallery TWICE in host RAM (ADVICE r4). The row dtype comes
+            # from the first quantized/cast chunk (ml_dtypes bfloat16 is a
+            # valid numpy dtype, so bf16 stages at 2 bytes/dim).
+            rows = scales = None
+            off = 0
             for c in chunks:
                 q, s = self._quantize_chunk(jnp.asarray(c), normalized)
-                rows_np.append(np.asarray(jax.device_get(q)))
+                q_np = np.asarray(jax.device_get(q))
+                if rows is None:
+                    rows = np.empty((total, self.dim), q_np.dtype)
+                    scales = (np.empty((total,), np.float32)
+                              if s is not None else None)
+                n_c = q_np.shape[0]
+                if off + n_c > total:
+                    raise ValueError(f"chunks exceed total={total}")
+                rows[off:off + n_c] = q_np
                 if s is not None:
-                    scale_np.append(np.asarray(jax.device_get(s)))
-            rows = np.concatenate(rows_np)
-            if rows.shape[0] != total:
-                raise ValueError(f"chunks carried {rows.shape[0]} rows, "
+                    scales[off:off + n_c] = np.asarray(jax.device_get(s))
+                off += n_c
+            if off != total:
+                raise ValueError(f"chunks carried {off} rows, "
                                  f"expected total={total}")
             self._install(jnp.asarray(rows),
-                          jnp.asarray(np.concatenate(scale_np))
-                          if scale_np else None)
+                          None if scales is None else jnp.asarray(scales))
             return self
 
         store_dtype = jnp.int8 if self.quantize else self.dtype
@@ -288,8 +395,9 @@ class DescriptorIndex:
         if self.mesh is None:
             db, db_scale = self._db, self._db_scale
             return self._map_chunks(
-                lambda qb, qsb: jax.lax.top_k(
-                    self._scores(qb, qsb, db, db_scale), k),
+                lambda qb, qsb: chunk_topk(
+                    qb, qsb, db, db_scale, k, db_block=self.db_block,
+                    method=self.topk_method, recall=self.approx_recall),
                 q, q_scale, n_chunks, n_q, k)
 
         mesh, axis = self.mesh, self.axis
@@ -302,7 +410,8 @@ class DescriptorIndex:
         # the compiled searcher bakes in the chunk count — jit retraces on a
         # changed query shape, but the host-side cache key must distinguish
         # chunk layouts too
-        cache_key = (k, n_chunks, q.shape[0])
+        cache_key = (k, n_chunks, q.shape[0], self.db_block,
+                     self.topk_method, self.approx_recall)
         if cache_key in self._search_cache:
             out = self._search_cache[cache_key](*db_args, *q_args)
             return out[0][:n_q], out[1][:n_q]
@@ -314,6 +423,9 @@ class DescriptorIndex:
 
         n_real = self._n
         quantize = self.quantize
+        db_block = self.db_block
+        topk_method = self.topk_method
+        approx_recall = self.approx_recall
 
         def local_search(*ops):
             if quantize:
@@ -322,15 +434,20 @@ class DescriptorIndex:
                 (db_shard, q_rep), dbs_shard, qs_rep = ops, None, None
 
             def one_chunk(q_blk, qs_blk):
-                # db_shard: (rows, D) local; q_blk: (chunk, D) replicated
-                plane = self._scores(q_blk, qs_blk, db_shard, dbs_shard)
-                scores, idx = jax.lax.top_k(plane, local_k)
+                # db_shard: (rows, D) local; q_blk: (chunk, D) replicated.
+                # Padded zero rows (global col >= n_real) are masked to
+                # -inf in the PLANE (inside chunk_topk), before the local
+                # top-k: masking after it could let a padded zero-score
+                # row displace a real negative-cosine candidate from this
+                # shard's local top-k and lose it (SALAD descriptors have
+                # negative components).
                 shard_i = jax.lax.axis_index(axis)
+                scores, idx = chunk_topk(
+                    q_blk, qs_blk, db_shard, dbs_shard, local_k,
+                    db_block=db_block, col_offset=shard_i * shard_rows,
+                    n_real=n_real, method=topk_method,
+                    recall=approx_recall)
                 idx = idx + shard_i * shard_rows
-                # padded zero rows score exactly 0, which OUTRANKS real
-                # negative-cosine matches (SALAD descriptors have negative
-                # components) — force them below any real score
-                scores = jnp.where(idx < n_real, scores, -jnp.inf)
                 # gather candidates from all shards: (n_shards*local_k)
                 # per query
                 all_scores = jax.lax.all_gather(scores, axis, axis=1)

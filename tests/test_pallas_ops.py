@@ -1179,3 +1179,84 @@ class TestFusedPatchMergeRolled:
         assert not patch_merge_rolled_ok(48, 128, 12, 12, 0, 32)  # no shift
         assert not patch_merge_rolled_ok(14, 96, 7, 7, 3, 8)     # c % 128
         assert not patch_merge_rolled_ok(12, 128, 12, 12, 6, 2)  # 1 row
+
+
+class TestRolledSwinTrain:
+    """Alternating-layout TRAINING kernels (round 5): forward (y, x_rolled)
+    and ALL grads of the rolled train entry must equal the
+    repartition-then-train-kernel chain it replaces — the residual-add
+    topology of SwinBlock (out = x_rolled + y) is used as the loss so both
+    output cotangents are exercised, in BOTH roll directions."""
+
+    def _params(self, heads=4, c=128, n=144):
+        rng = np.random.default_rng(17)
+        f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+        return dict(ln_s=f(c) * 0.1 + 1.0, ln_b=f(c) * 0.1,
+                    wqkv=f(c, 3 * c) * 0.05, bqkv=f(3 * c) * 0.05,
+                    wo=f(c, c) * 0.05, bo=f(c) * 0.05,
+                    bias=f(heads, n, n) * 0.02)
+
+    @pytest.mark.parametrize("sign", [1, -1])
+    def test_train_rolled_matches_repartition_chain(self, monkeypatch,
+                                                    sign):
+        import geovpr.ops.pallas_swin_block as psb
+        from geovpr.models.swin import repartition, shifted_window_mask
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                psb.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+        h = w = 24
+        win, s = 12, 6
+        nwx = nwy = 2
+        n, c, heads, b = win * win, 128, 4, 2
+        bw = b * nwx * nwy
+        p = self._params(heads, c, n)
+        rng = np.random.default_rng(18)
+        x = jnp.asarray(rng.normal(size=(bw, n, c)).astype(np.float32))
+        assert psb.swin_train_rolled_ok(n, c, bw, heads, nwx, nwy)
+        mask = (jnp.asarray(shifted_window_mask(h, w, win, s))
+                if sign > 0 else None)
+        weights = (p["ln_s"], p["ln_b"], p["wqkv"], p["bqkv"], p["wo"],
+                   p["bo"], p["bias"])
+
+        def loss_rolled(x, *wts):
+            y, xr = psb.fused_swin_attn_train_rolled(
+                x, *wts, mask, heads, 1e-5, sign, win, nwx, nwy)
+            return jnp.sum((xr + y) ** 2)
+
+        def loss_chain(x, *wts):
+            ref_in = repartition(x, win, h, w, sign * s)
+            y = psb.fused_swin_attn_train(ref_in, *wts, mask, heads, 1e-5)
+            return jnp.sum((ref_in + y) ** 2)
+
+        v1 = loss_rolled(x, *weights)
+        v2 = loss_chain(x, *weights)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+
+        g1 = jax.grad(loss_rolled, argnums=tuple(range(8)))(x, *weights)
+        g2 = jax.grad(loss_chain, argnums=tuple(range(8)))(x, *weights)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("sign", [1, -1])
+    def test_roll_relayout_matches_repartition(self, monkeypatch, sign):
+        import geovpr.ops.pallas_swin_block as psb
+        from geovpr.models.swin import repartition
+
+        orig = pl.pallas_call
+        if _interp():
+            monkeypatch.setattr(
+                psb.pl, "pallas_call",
+                lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+        h = w = 24
+        win, s, nwx, nwy = 12, 6, 2, 2
+        n, c, bw = win * win, 128, 2 * nwx * nwy
+        rng = np.random.default_rng(19)
+        x = jnp.asarray(rng.normal(size=(bw, n, c)).astype(np.float32))
+        got = psb.roll_relayout(x, sign, win, nwx, nwy)
+        want = repartition(x, win, h, w, sign * s)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

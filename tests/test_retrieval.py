@@ -376,3 +376,101 @@ class TestInt8RankStabilityProductionDim:
         # the specific same-place image reorders
         q_cluster = np.arange(len(q)) // per
         assert (idx_q[flip, 0] // per == q_cluster[flip]).all()
+
+
+class TestBlockedTopk:
+    """Round-5 two-stage blocked top-k (`chunk_topk` with db_block): per
+    db-row-block top-k under lax.map + one merge top-k — exact by
+    pigeonhole (every true global top-k entry is in its own block's
+    top-k), so results must be identical to the single-shot path,
+    including a non-multiple row tail and negative scores."""
+
+    @pytest.mark.parametrize("quantize", [False, True])
+    @pytest.mark.parametrize("db_block", [16, 37, 64])
+    def test_blocked_matches_single_shot(self, quantize, db_block):
+        rng = np.random.default_rng(11)
+        db = _unit(rng, 101, 32)          # 101 % block != 0 -> tail block
+        q = _unit(rng, 9, 32)
+        plain = DescriptorIndex(dim=32, dtype=jnp.float32,
+                                quantize=quantize, db_block=0).build(db)
+        blocked = DescriptorIndex(dim=32, dtype=jnp.float32,
+                                  quantize=quantize,
+                                  db_block=db_block).build(db)
+        s1, i1 = plain.search(jnp.array(q), k=7)
+        s2, i2 = blocked.search(jnp.array(q), k=7)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-6)
+
+    @pytest.mark.parametrize("quantize", [False, True])
+    def test_blocked_sharded_matches_plain(self, quantize):
+        from geovpr.parallel import create_mesh
+        rng = np.random.default_rng(12)
+        db = _unit(rng, 103, 32)          # padding on the 8-shard mesh
+        q = _unit(rng, 5, 32)
+        plain = DescriptorIndex(dim=32, dtype=jnp.float32,
+                                quantize=quantize, db_block=0).build(db)
+        sharded = DescriptorIndex(dim=32, dtype=jnp.float32, db_block=5,
+                                  quantize=quantize,
+                                  mesh=create_mesh()).build(db)
+        s1, i1 = plain.search(jnp.array(q), k=4)
+        s2, i2 = sharded.search(jnp.array(q), k=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-5)
+
+    def test_query_chunked_blocked_matches(self):
+        """db_block composes with query_chunk (lax.map over query blocks
+        OUTSIDE, lax.map over db blocks INSIDE)."""
+        rng = np.random.default_rng(13)
+        db = _unit(rng, 70, 16)
+        q = _unit(rng, 23, 16)
+        plain = DescriptorIndex(dim=16, dtype=jnp.float32, db_block=0,
+                                query_chunk=0).build(db)
+        blocked = DescriptorIndex(dim=16, dtype=jnp.float32, db_block=32,
+                                  query_chunk=8).build(db)
+        s1, i1 = plain.search(jnp.array(q), k=3)
+        s2, i2 = blocked.search(jnp.array(q), k=3)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   atol=1e-6)
+
+    def test_approx_method_top1_on_separated_gallery(self):
+        """`topk_method="approx"` routes through lax.approx_max_k; on a
+        well-separated gallery (self-retrieval) top-1 must still be the
+        query row itself. (CPU lowers approx_max_k exactly; the recall
+        tradeoff is measured on the chip — bench.py --retrieval.)"""
+        rng = np.random.default_rng(14)
+        db = _unit(rng, 64, 64)
+        index = DescriptorIndex(dim=64, dtype=jnp.float32,
+                                topk_method="approx", db_block=24).build(db)
+        _, idx = index.search(jnp.array(db), k=4)
+        assert float(recall_at_k(idx, jnp.arange(64), k=1)) == 1.0
+
+
+class TestShardedPaddedNegativeDisplacement:
+    def test_sharded_padded_negative_scores(self):
+        """Round-5 regression (pre-top-k masking): with local_k < shard
+        rows and a shard holding BOTH real and padded rows, a padded
+        zero-score row used to displace a real negative-cosine candidate
+        from that shard's local top-k (the old code masked AFTER the local
+        top_k). 29 rows over 8 shards -> shard 7 = 1 real + 3 pad; k=2 <
+        shard_rows=4; the best (least-negative) gallery row lives in
+        shard 7."""
+        from geovpr.parallel import create_mesh
+        rng = np.random.default_rng(15)
+        base = _unit(rng, 1, 32)
+        noise = rng.normal(0, 1e-3, (29, 32)).astype(np.float32)
+        mag = np.full((29, 1), -0.9, np.float32)
+        mag[28] = -0.05          # globally-best match sits in shard 7
+        mag[5] = -0.1
+        gallery = mag * base + noise
+        gallery /= np.linalg.norm(gallery, axis=1, keepdims=True)
+        index = DescriptorIndex(dim=32, mesh=create_mesh(),
+                                dtype=jnp.float32).build(
+            jnp.asarray(gallery))
+        scores, idx = index.search(jnp.asarray(base), k=2)
+        ref = (gallery @ base.T)[:, 0]
+        ref_top = np.argsort(-ref)[:2]
+        np.testing.assert_array_equal(np.asarray(idx)[0], ref_top)
+        assert (np.asarray(scores) < 0).all()

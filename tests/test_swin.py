@@ -393,3 +393,46 @@ def test_alt_layout_transformer_matches(monkeypatch):
     np.testing.assert_allclose(np.asarray(got.pooled),
                                np.asarray(want_plain),
                                rtol=5e-5, atol=5e-5)
+
+
+def test_alt_train_layout_matches(monkeypatch):
+    """Full SwinTransformer TRAINING step under the alternating layout
+    (GEOVPR_SWIN_ALT_TRAIN=1: fused_swin_attn_train_rolled assembles each
+    block's layout in VMEM, returns the assembled stream as the residual
+    shortcut, and its VJP converts dx back with one roll_relayout pass) —
+    value AND all parameter grads must match both the canonical
+    repartition-based train-kernel path and the plain CPU path."""
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_swin_block as psb
+
+    cfg = dict(embed_dim=128, depths=(2, 2), num_heads=(4, 8),
+               window_size=12, image_size=96, drop_path_rate=0.0)
+    model = SwinTransformer(**cfg)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 96, 96, 3))
+    v = model.init(jax.random.PRNGKey(5), x)
+
+    def loss(v, x):
+        return jnp.sum(model.apply(v, x, deterministic=False).pooled ** 2)
+
+    want, gwant = jax.value_and_grad(loss)(v, x)       # plain CPU path
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        psb.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_TRAIN", "0")
+    base, gbase = jax.value_and_grad(loss)(v, x)       # canonical kernels
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_TRAIN", "1")
+    got, ggot = jax.value_and_grad(loss)(v, x)         # rolled kernels
+
+    np.testing.assert_allclose(float(got), float(base), rtol=1e-5)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    flat_b = jax.tree_util.tree_leaves_with_path(gbase)
+    for (path, b), g, w in zip(flat_b, jax.tree_util.tree_leaves(ggot),
+                               jax.tree_util.tree_leaves(gwant)):
+        msg = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=msg)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3, err_msg=msg)
