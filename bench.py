@@ -977,7 +977,10 @@ def bench_retrieval(args):
             return run
 
         def topk_reducer(qb, qsb, db, db_scale):
+            # n_real masks the install-time padding rows (gallery padded
+            # to a db_block multiple so the blocked reshape is a bitcast)
             return chunk_topk(qb, qsb, db, db_scale, k, db_block=db_block,
+                              n_real=n_db if db.shape[0] != n_db else None,
                               method=topk_method,
                               recall=args.approx or 0.95)
 

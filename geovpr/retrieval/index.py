@@ -249,13 +249,19 @@ class DescriptorIndex:
             if off != total:
                 raise ValueError(f"chunks carried {off} rows, "
                                  f"expected total={total}")
-            self._install(jnp.asarray(rows),
-                          None if scales is None else jnp.asarray(scales))
+            # hand the HOST arrays straight to _install: padding then
+            # happens host-side and device_put ships the final layout once
+            self._install(rows, scales)
             return self
 
         store_dtype = jnp.int8 if self.quantize else self.dtype
-        dst = jnp.zeros((total, self.dim), store_dtype)
-        dst_scale = jnp.ones((total,), jnp.float32) if self.quantize else None
+        # preallocate at the PADDED size (see _rows_multiple) so the
+        # blocked top-k's reshape stays a bitcast; padding rows stay zero
+        # (scale 1) and are masked at search by n_real
+        total_store = self._rows_multiple(total)
+        dst = jnp.zeros((total_store, self.dim), store_dtype)
+        dst_scale = (jnp.ones((total_store,), jnp.float32)
+                     if self.quantize else None)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1),
                            static_argnums=(4,))
@@ -282,7 +288,7 @@ class DescriptorIndex:
         if off != total:
             raise ValueError(f"chunks carried {off} rows, "
                              f"expected total={total}")
-        self._install(dst, dst_scale)
+        self._install(dst, dst_scale, n_real=total)
         return self
 
     def _quantize_chunk(self, x: jax.Array, normalized: bool):
@@ -293,32 +299,59 @@ class DescriptorIndex:
             return _quantize_rows(x)
         return x.astype(self.dtype), None
 
-    def _install(self, rows: jax.Array, scale: Optional[jax.Array]):
-        """Place (already-quantized/cast) database rows on device, sharded
-        over the mesh's data axis when one is attached. Shared by `build`
-        and `load`."""
+    def _rows_multiple(self, n: int) -> int:
+        """Install-time row multiple: shards x (db_block when the blocked
+        top-k will actually split a shard). Padding to this multiple at
+        install time makes chunk_topk's (nb, db_block, D) reshape a free
+        bitcast — a non-multiple gallery would force a SLICE, which
+        materializes a near-full copy of the database on device (the
+        round-5 1M OOM)."""
+        n_shards = self.mesh.shape[self.axis] if self.mesh is not None else 1
+        shard = -(-n // n_shards)
+        if self.db_block and shard > self.db_block:
+            shard = -(-shard // self.db_block) * self.db_block
+        return shard * n_shards
+
+    @property
+    def _padded(self) -> bool:
+        return self._db is not None and self._db.shape[0] != self._n
+
+    def _install(self, rows, scale, n_real: Optional[int] = None):
+        """Place (already-quantized/cast) database rows on device, padded
+        to the blocked-top-k row multiple (zero rows, masked at search by
+        `n_real`) and sharded over the mesh's data axis when one is
+        attached. Shared by `build`, `build_chunked`, and `load`; rows may
+        arrive host-side (numpy) — padding then happens on the host, so a
+        big load never holds two device copies."""
         # the cached searchers bake in THIS build's n_real/shard_rows/local_k;
         # a rebuild with a different database size would silently reuse stale
         # offsets and padded-row masks, returning wrong neighbors
         self._search_cache.clear()
-        self._n = rows.shape[0]
-        if self.mesh is not None:
-            n_shards = self.mesh.shape[self.axis]
-            pad = (-self._n) % n_shards
-            if pad:
+        self._n = int(n_real if n_real is not None else rows.shape[0])
+        pad = self._rows_multiple(rows.shape[0]) - rows.shape[0]
+        if pad:
+            if isinstance(rows, np.ndarray):
+                rows = np.concatenate(
+                    [rows, np.zeros((pad, self.dim), rows.dtype)])
+                if scale is not None:
+                    scale = np.concatenate(
+                        [np.asarray(scale), np.ones((pad,), np.float32)])
+            else:
                 rows = jnp.concatenate(
                     [rows, jnp.zeros((pad, self.dim), rows.dtype)], axis=0)
                 if scale is not None:
                     scale = jnp.concatenate(
                         [scale, jnp.ones((pad,), scale.dtype)])
+        if self.mesh is not None:
             sharding = NamedSharding(self.mesh, P(self.axis, None))
             self._db = jax.device_put(rows, sharding)
             if scale is not None:
                 self._db_scale = jax.device_put(
-                    scale, NamedSharding(self.mesh, P(self.axis)))
+                    jnp.asarray(scale), NamedSharding(self.mesh,
+                                                      P(self.axis)))
         else:
-            self._db = rows
-            self._db_scale = scale
+            self._db = jnp.asarray(rows)
+            self._db_scale = None if scale is None else jnp.asarray(scale)
 
     @property
     def size(self) -> int:
@@ -394,10 +427,12 @@ class DescriptorIndex:
 
         if self.mesh is None:
             db, db_scale = self._db, self._db_scale
+            n_real = self._n if self._padded else None
             return self._map_chunks(
                 lambda qb, qsb: chunk_topk(
                     qb, qsb, db, db_scale, k, db_block=self.db_block,
-                    method=self.topk_method, recall=self.approx_recall),
+                    n_real=n_real, method=self.topk_method,
+                    recall=self.approx_recall),
                 q, q_scale, n_chunks, n_q, k)
 
         mesh, axis = self.mesh, self.axis
