@@ -56,9 +56,20 @@ def _pallas_backend() -> bool:
     """Whether the fused Pallas paths should engage. True on TPU; the
     GEOVPR_FORCE_PALLAS=1 escape lets CPU tests drive the kernel paths
     under the interpret-mode pallas_call patch (tests/test_pallas_ops.py
-    pattern) — never set it in production."""
-    return (jax.default_backend() == "tpu"
-            or os.environ.get("GEOVPR_FORCE_PALLAS") == "1")
+    pattern) — never set it in production. A stray env var on a non-TPU
+    backend would die in Mosaic lowering with an opaque error, so warn
+    loudly up front (ADVICE r4)."""
+    if jax.default_backend() == "tpu":
+        return True
+    if os.environ.get("GEOVPR_FORCE_PALLAS") == "1":
+        import warnings
+        warnings.warn(
+            "GEOVPR_FORCE_PALLAS=1 on a non-TPU backend: pallas_call will "
+            "fail to lower unless the test harness patches interpret mode "
+            "(tests/test_pallas_ops.py pattern)", RuntimeWarning,
+            stacklevel=2)
+        return True
+    return False
 
 
 def relative_position_index(window: int) -> np.ndarray:

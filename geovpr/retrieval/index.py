@@ -426,14 +426,33 @@ class DescriptorIndex:
         q, q_scale, n_chunks, n_q = self._pad_queries(q, q_scale)
 
         if self.mesh is None:
-            db, db_scale = self._db, self._db_scale
+            # compiled + cached like the mesh path: the blocked top-k's
+            # (nb, db_block, D) reshape is a free bitcast UNDER JIT but an
+            # 8.9 GB device COPY in eager dispatch (round-5 1M OOM #2) —
+            # and a cached executable also kills per-call retrace cost
             n_real = self._n if self._padded else None
-            return self._map_chunks(
-                lambda qb, qsb: chunk_topk(
-                    qb, qsb, db, db_scale, k, db_block=self.db_block,
-                    n_real=n_real, method=self.topk_method,
-                    recall=self.approx_recall),
-                q, q_scale, n_chunks, n_q, k)
+            db_block, method = self.db_block, self.topk_method
+            recall = self.approx_recall
+            quantize = self.quantize
+            cache_key = ("local", k, n_chunks, q.shape[0], db_block,
+                         method, recall)
+            if cache_key not in self._search_cache:
+                def local_topk(*ops):
+                    if quantize:
+                        db, db_scale, qq, qs = ops
+                    else:
+                        (db, qq), db_scale, qs = ops, None, None
+                    return self._map_chunks(
+                        lambda qb, qsb: chunk_topk(
+                            qb, qsb, db, db_scale, k, db_block=db_block,
+                            n_real=n_real, method=method, recall=recall),
+                        qq, qs, n_chunks, qq.shape[0], k)
+                self._search_cache[cache_key] = jax.jit(local_topk)
+            db_args = ((self._db, self._db_scale) if quantize
+                       else (self._db,))
+            q_args = (q, q_scale) if quantize else (q,)
+            out = self._search_cache[cache_key](*db_args, *q_args)
+            return out[0][:n_q], out[1][:n_q]
 
         mesh, axis = self.mesh, self.axis
         n_shards = mesh.shape[axis]
