@@ -169,13 +169,15 @@ def repartition(xw: jax.Array, window: int, h: int, w: int,
     bw, n, c = xw.shape
     nw = (h // window) * (w // window)
     b = bw // nw
-    # GEOVPR_REPARTITION_KERNEL=1: execute the SAME permutation as the
+    # Default ON (round 5): execute the SAME permutation as the
     # roll_relayout Pallas kernel (two adjacent window-row reads -> one
-    # assembled row write, sequential traffic) instead of the XLA row
-    # gather — A/B knob for the train step's 4-gathers-per-shifted-block
-    # bill (round 5)
+    # assembled row write, sequential whole-row traffic) instead of the
+    # XLA row gather. Measured on the Swin-B-384 B=32 train step (4
+    # repartitions per shifted block): 139.62 -> 136.40 ms, +2.4% img/s,
+    # bit-identical across repeats (benches/SWIN_TRAIN_LAYOUT_r05.log).
+    # GEOVPR_REPARTITION_KERNEL=0 restores the gather (A/B escape).
     if (abs(shift_amt) == window // 2 and h == w
-            and os.environ.get("GEOVPR_REPARTITION_KERNEL", "0") == "1"
+            and os.environ.get("GEOVPR_REPARTITION_KERNEL", "1") == "1"
             and _pallas_backend()):
         from geovpr.ops.pallas_swin_block import roll_relayout
         nw_lin = w // window
