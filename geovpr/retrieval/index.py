@@ -69,19 +69,22 @@ def chunk_topk(qb, qsb, db, db_scale, k: int, *, db_block: int = 0,
     rows, with three execution strategies (measured round 5, 1M x 8448
     int8 gallery on one v5e — benches/RETRIEVAL_OPT_r05.log):
 
-    - ``db_block=0`` single-shot: one (Q, rows) plane + one full-width
-      `lax.top_k`. The 1M-wide top_k costs ~35% of the step and the f32
-      plane (4.3 GB at chunk=1024) caps the query chunk.
+    - ``db_block=0`` single-shot (default): one (Q, rows) plane + one
+      full-width `lax.top_k`. At 1M the top_k pass costs 47.8% of the
+      step (matmul-only ablation) and the f32 plane (4.3 GB at
+      chunk=1024) caps the query chunk.
     - ``db_block=N`` two-stage blocked EXACT top-k: `lax.map` over row
-      blocks, per-block top-min(k, N) (every true global top-k entry is in
-      its own block's top-k — pigeonhole), then one merge top-k over the
-      (Q, nb*k) candidate strip. The full plane never materializes (one
-      (Q, N) block live), so the 1M-wide sort disappears AND the query
-      chunk can grow past the plane's HBM cap. A non-multiple row tail is
-      handled as one extra narrow block.
+      blocks, per-block top-min(k, N) (every true global top-k entry is
+      in its own block's top-k — pigeonhole), then one merge top-k over
+      the (Q, nb*k) candidate strip. Only one (Q, N) plane lives at a
+      time, so the query chunk can grow past the HBM cap — but it is NOT
+      a speed lever: measured 11,279 -> 11,521 q/s at N=131072 and
+      10,928 at 65536 (XLA's top_k cost is ~linear in plane area). A
+      non-multiple row tail is handled as one extra narrow block.
     - ``method="approx"``: `jax.lax.approx_max_k` (the TPU-native
-      PartialReduce top-k) instead of exact `lax.top_k`, at the given
-      `recall_target` per call — composes with db_block.
+      PartialReduce top-k) at the given `recall_target` — composes with
+      db_block. THIS is the throughput lever: 21,895 q/s at 0.99 (1.94x,
+      top-10 overlap 0.9953 vs exact), i.e. the matmul ceiling.
 
     Padded gallery rows (col_offset + local col >= n_real) are masked to
     -inf IN THE PLANE, before any top-k: masking after the reduction (the
@@ -178,14 +181,24 @@ class DescriptorIndex:
     query_chunk: int = 1024
     # database-row block size for the two-stage blocked top-k (see
     # `chunk_topk`): per-block top-k under a lax.map, then one merge top-k
-    # over the candidate strip — exact, the full (chunk, rows) plane never
-    # materializes, and the rows-wide sort disappears. 0 = single-shot.
-    # Default 131072: measured round 5 at 1M x 8448 int8 (A/B in
-    # benches/RETRIEVAL_OPT_r05.log).
-    db_block: int = 131072
-    # "exact" (lax.top_k) or "approx" (lax.approx_max_k at approx_recall)
+    # over the candidate strip — exact, and the full (chunk, rows) plane
+    # never materializes. Default 0 (single-shot): measured round 5 at
+    # 1M x 8448 int8, blocking is a FUTILE exactness lever — 11,279 ->
+    # 11,521 q/s at 131072 (+2%) and 10,928 at 65536 (-3%); XLA's top_k
+    # cost is ~linear in plane area, so splitting the width doesn't
+    # remove it (benches/RETRIEVAL_OPT_r05.log).
+    db_block: int = 0
+    # "exact" (lax.top_k) or "approx" (lax.approx_max_k at approx_recall,
+    # the TPU-native PartialReduce top-k). Measured round 5 at 1M x 8448
+    # int8, k=10 (same log): exact 11,279 q/s with the top-k pass costing
+    # 47.8% of the step (matmul-only ablation 189.3 ms vs 362.9 full);
+    # approx runs AT the matmul ceiling — 21,914 q/s at recall 0.95
+    # (top-10 overlap vs exact 0.9777 on random queries) and 21,895 at
+    # 0.99 (overlap 0.9953, probe recall@1 1.0) — 1.94x for ~0.5% top-10
+    # disagreement. Default stays exact (eval metrics replicate exactly);
+    # serving deployments should flip to approx.
     topk_method: str = "exact"
-    approx_recall: float = 0.95
+    approx_recall: float = 0.99
     _db: Optional[jax.Array] = None
     _db_scale: Optional[jax.Array] = None
     _n: int = 0
