@@ -69,6 +69,10 @@ def main(argv=None):
     p.add_argument("--salad-variant", default="base-14")
     p.add_argument("--salad-image-size", type=int, default=224)
     p.add_argument("--top-k", type=int, default=5)
+    p.add_argument("--approx", type=float, default=0.0,
+                   help="retrieval serving mode: lax.approx_max_k at this "
+                   "recall_target instead of exact top-k (1.94x at 1M, "
+                   "benches/RETRIEVAL_OPT_r05.log)")
     p.add_argument("--int8", action="store_true",
                    help="w8a8 serving path for every component whose family "
                         "supports it (swin/dinov2/dinov2_salad; conv "
@@ -223,6 +227,11 @@ def main(argv=None):
                 save_index(pipe.index, args.save_index,
                            filenames=gallery.filenames,
                            latlon=np.asarray(gallery.latlon, np.float32))
+        if args.approx and pipe.index is not None:
+            # serving top-k mode (measured 1.94x at 1M x 8448 int8,
+            # benches/RETRIEVAL_OPT_r05.log)
+            pipe.index.topk_method = "approx"
+            pipe.index.approx_recall = args.approx
         sizes.append(args.salad_image_size)
         batch_sizes.append(64)
 

@@ -81,6 +81,12 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--top-k", type=int, default=5)
     p.add_argument("--positive-radius", type=float, default=25.0)
+    p.add_argument("--approx", type=float, default=0.0,
+                   help="serving top-k mode: use the TPU-native "
+                   "lax.approx_max_k at this recall_target instead of "
+                   "exact top-k — measured 1.94x search throughput at "
+                   "0.99 with 0.9953 top-10 overlap on a 1M x 8448 int8 "
+                   "gallery (benches/RETRIEVAL_OPT_r05.log)")
     p.add_argument("--int8", action="store_true",
                    help="w8a8 serving path: quantize the backbone MLPs with "
                         "static activation scales calibrated on the first "
@@ -160,6 +166,9 @@ def main(argv=None):
             save_index(index, args.save_index,
                        filenames=gallery_filenames, latlon=gallery_latlon)
 
+    if args.approx:
+        index.topk_method = "approx"
+        index.approx_recall = args.approx
     q_desc = extract_descriptors(model, variables, source(queries),
                                  args.batch_size, mesh)
     scores, nbrs = index.search(jnp.asarray(q_desc), k=args.top_k)

@@ -522,3 +522,32 @@ class TestFuseCliRetrieval:
         with open(out["retrieval_csv"], newline="") as f:
             rows = list(csv.DictReader(f))
         assert len(rows) == 3 * 2
+
+
+class TestRetrieveApproxFlag:
+    def test_approx_matches_exact_on_separated_gallery(self, tmp_path,
+                                                       capsys):
+        """--approx (lax.approx_max_k serving mode) through the retrieve
+        CLI: on a small, well-separated gallery the matches CSV must equal
+        the exact run's (CPU lowers approx_max_k exactly; the on-chip
+        recall/throughput tradeoff is measured in
+        benches/RETRIEVAL_OPT_r05.log)."""
+        import json
+        from geovpr.cli.retrieve import main
+
+        root = str(tmp_path)
+        img_dir = TestRetrieveCli._write_dataset(
+            TestRetrieveCli(), root, n_gallery=8, n_query=2)
+        common = ["--gallery-csv", os.path.join(root, "gallery.csv"),
+                  "--query-csv", os.path.join(root, "query.csv"),
+                  "--image-root", img_dir,
+                  "--variant", "small-14", "--image-size", "28",
+                  "--batch-size", "4", "--top-k", "3"]
+        main(common + ["--out-dir", os.path.join(root, "exact")])
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        main(common + ["--out-dir", os.path.join(root, "approx"),
+                       "--approx", "0.99"])
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out2["recall@1"] == out1["recall@1"]
+        with open(out1["matches_csv"]) as f1, open(out2["matches_csv"]) as f2:
+            assert f1.read() == f2.read()
