@@ -883,7 +883,11 @@ def bench_retrieval(args):
         dim, n_q, k, iters, chunk = 8448, 4096, 10, max(args.iters // 2, 4), 1024
     if args.query_chunk:
         chunk = args.query_chunk
+        # round the query count UP to a chunk multiple: _map_chunks
+        # reshapes to (n_chunks, chunk, D), so a non-divisor chunk would
+        # either crash the reshape or silently time a different chunk size
         n_q = max(n_q, chunk)
+        n_q = ((n_q + chunk - 1) // chunk) * chunk
     db_block = args.db_block
     topk_method = "approx" if args.approx else "exact"
 
@@ -945,6 +949,22 @@ def bench_retrieval(args):
         _, top = index.search(probe, k=1)
         import numpy as np
         r1 = float((np.asarray(top)[:, 0] == np.arange(512)).mean())
+        if topk_method == "approx" or db_block:
+            # honest fidelity probe for the non-single-shot reductions:
+            # top-k overlap vs the EXACT single-shot search on RANDOM
+            # queries (no planted near-duplicate, ties genuinely close)
+            rnd = make(7, 256)
+            _, t_got = index.search(rnd, k=k)
+            exact = DescriptorIndex(
+                dim=dim, quantize=quant, dtype=jnp.bfloat16,
+                query_chunk=chunk, db_block=0, topk_method="exact")
+            exact._install(index._db, index._db_scale, n_real=index._n)
+            _, t_ref = exact.search(rnd, k=k)
+            a, b = np.asarray(t_got), np.asarray(t_ref)
+            overlap = np.mean([
+                len(set(a[i]) & set(b[i])) / k for i in range(a.shape[0])])
+            print(f"# {mode} top-{k} overlap vs exact single-shot on 256 "
+                  f"random queries: {overlap:.4f}", file=sys.stderr)
 
         n_chunks = n_q // chunk
         scores_fn = DescriptorIndex._scores

@@ -179,10 +179,10 @@ def repartition(xw: jax.Array, window: int, h: int, w: int,
     if (abs(shift_amt) == window // 2 and h == w
             and os.environ.get("GEOVPR_REPARTITION_KERNEL", "1") == "1"
             and _pallas_backend()):
-        from geovpr.ops.pallas_swin_block import roll_relayout
+        from geovpr.ops.pallas_swin_block import (roll_relayout,
+                                                  roll_relayout_ok)
         nw_lin = w // window
-        if (n % 16 == 0 and c % 128 == 0 and nw_lin > 1
-                and bw % (nw_lin * nw_lin) == 0):
+        if roll_relayout_ok(n, c, bw, nw_lin, nw_lin):
             return roll_relayout(xw, 1 if shift_amt > 0 else -1,
                                  window, nw_lin, nw_lin)
     perm = jnp.asarray(_repartition_perm(h, w, window, shift_amt))

@@ -535,8 +535,7 @@ def swin_rolled_ok(n: int, c: int, bw: int, num_heads: int,
     one program), and the score/probability planes of a full window-row
     fitting the plane budget. At Swin-B-384 dims every stage's
     budget-chosen wb already equals nw_x (8/4/2 for stages 0/1/2)."""
-    return (n % 16 == 0 and c % 128 == 0 and nw_x * nw_y > 1
-            and bw % (nw_x * nw_y) == 0
+    return (roll_relayout_ok(n, c, bw, nw_x, nw_y)
             and 2 * nw_x * num_heads * n * n * 4 <= _PLANE_BUDGET)
 
 
@@ -1491,6 +1490,16 @@ def _relayout_kernel(x_ref, x2_ref, o_ref, *, window: int, nw_x: int,
                      roll_sign: int):
     o_ref[:] = _roll_assemble(x_ref[:], x2_ref[:], window=window,
                               nw_x=nw_x, sign=roll_sign)
+
+
+def roll_relayout_ok(n: int, c: int, bw: int, nw_x: int, nw_y: int) -> bool:
+    """Eligibility for `roll_relayout` (and the assembly half of the
+    rolled kernels): Mosaic-safe alignment + whole window-rows per
+    program (the column wrap must stay in-program). The single shared
+    gate — models/swin.py's repartition dispatch and the rolled-kernel
+    gates must not re-derive these conditions independently."""
+    return (n % 16 == 0 and c % 128 == 0 and nw_x * nw_y > 1
+            and bw % (nw_x * nw_y) == 0)
 
 
 def roll_relayout(xw, roll_sign: int, window: int, nw_x: int, nw_y: int):

@@ -64,7 +64,7 @@ def _quantize_rows(x: jax.Array):
 
 def chunk_topk(qb, qsb, db, db_scale, k: int, *, db_block: int = 0,
                col_offset=0, n_real: Optional[int] = None,
-               method: str = "exact", recall: float = 0.95):
+               method: str = "exact", recall: float = 0.99):
     """Top-k of the cosine-score plane for ONE query block against `db`
     rows, with three execution strategies (measured round 5, 1M x 8448
     int8 gallery on one v5e — benches/RETRIEVAL_OPT_r05.log):
@@ -238,19 +238,22 @@ class DescriptorIndex:
 
         `total` must equal the summed chunk rows (checked)."""
         if self.mesh is not None:
-            # one preallocated host destination, filled chunk-by-chunk —
-            # list-append + concatenate would transiently hold the staged
-            # gallery TWICE in host RAM (ADVICE r4). The row dtype comes
-            # from the first quantized/cast chunk (ml_dtypes bfloat16 is a
-            # valid numpy dtype, so bf16 stages at 2 bytes/dim).
+            # one preallocated host destination at the PADDED size, filled
+            # chunk-by-chunk — list-append + concatenate would transiently
+            # hold the staged gallery TWICE in host RAM (ADVICE r4), and
+            # an unpadded buffer would make _install's padding concat do
+            # the same. The row dtype comes from the first quantized/cast
+            # chunk (ml_dtypes bfloat16 is a valid numpy dtype, so bf16
+            # stages at 2 bytes/dim).
+            total_store = self._rows_multiple(total)
             rows = scales = None
             off = 0
             for c in chunks:
                 q, s = self._quantize_chunk(jnp.asarray(c), normalized)
                 q_np = np.asarray(jax.device_get(q))
                 if rows is None:
-                    rows = np.empty((total, self.dim), q_np.dtype)
-                    scales = (np.empty((total,), np.float32)
+                    rows = np.zeros((total_store, self.dim), q_np.dtype)
+                    scales = (np.ones((total_store,), np.float32)
                               if s is not None else None)
                 n_c = q_np.shape[0]
                 if off + n_c > total:
@@ -262,9 +265,9 @@ class DescriptorIndex:
             if off != total:
                 raise ValueError(f"chunks carried {off} rows, "
                                  f"expected total={total}")
-            # hand the HOST arrays straight to _install: padding then
-            # happens host-side and device_put ships the final layout once
-            self._install(rows, scales)
+            # already padded: _install ships the final layout in ONE
+            # device_put, no further host or device copies
+            self._install(rows, scales, n_real=total)
             return self
 
         store_dtype = jnp.int8 if self.quantize else self.dtype

@@ -804,14 +804,15 @@ class TestSmokeOnlyPresetsTrainStep:
                            targets=(ang01 * 300.0).astype(np.float32))
 
     def _fit_preset(self, tmp_path, preset, size, model=None,
-                    model_kw=None, epochs=4):
+                    model_kw=(), epochs=4):
         import dataclasses as dc
         from geovpr.cli.presets import build_preset, objective_for
 
         cfg = build_preset(preset)
         assert cfg.loss == "direct" and cfg.model.head == "linear"
         if model is None:
-            mcfg = dc.replace(cfg.model, image_size=size, **model_kw)
+            mcfg = dc.replace(cfg.model, image_size=size,
+                              **dict(model_kw or {}))
             model = RegressionModel(config=mcfg)
         src = self._angle_source(size=size)
         tr = Trainer(
