@@ -436,3 +436,44 @@ def test_alt_train_layout_matches(monkeypatch):
                                    rtol=1e-4, atol=1e-4, err_msg=msg)
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-3, atol=2e-3, err_msg=msg)
+
+
+def test_alt_train_layout_under_remat(monkeypatch):
+    """GEOVPR_SWIN_ALT_TRAIN=1 composed with remat (nn.remat re-enters the
+    rolled custom-VJP kernels during the backward): grads must match the
+    non-remat rolled run exactly and the plain CPU path to tolerance —
+    the knob-combination rule (round-4 memory: co-test every pair that
+    reshapes shared operands)."""
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_swin_block as psb
+
+    cfg = dict(embed_dim=128, depths=(2,), num_heads=(4,),
+               window_size=12, image_size=96, drop_path_rate=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 96, 96, 3))
+    v = SwinTransformer(**cfg).init(jax.random.PRNGKey(7), x)
+
+    def loss(remat):
+        model = SwinTransformer(**cfg, remat=remat)
+        return lambda v, x: jnp.sum(
+            model.apply(v, x, deterministic=False).pooled ** 2)
+
+    want, gwant = jax.value_and_grad(loss(False))(v, x)   # plain CPU
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        psb.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("GEOVPR_SWIN_ALT_TRAIN", "1")
+    base, gbase = jax.value_and_grad(loss(False))(v, x)   # rolled
+    got, ggot = jax.value_and_grad(loss(True))(v, x)      # rolled + remat
+
+    np.testing.assert_allclose(float(got), float(base), rtol=1e-5)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    for b, g, w in zip(jax.tree_util.tree_leaves(gbase),
+                       jax.tree_util.tree_leaves(ggot),
+                       jax.tree_util.tree_leaves(gwant)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-3, atol=2e-3)
