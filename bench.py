@@ -886,8 +886,7 @@ def bench_retrieval(args):
         # round the query count UP to a chunk multiple: _map_chunks
         # reshapes to (n_chunks, chunk, D), so a non-divisor chunk would
         # either crash the reshape or silently time a different chunk size
-        n_q = max(n_q, chunk)
-        n_q = ((n_q + chunk - 1) // chunk) * chunk
+        n_q = ((max(n_q, chunk) + chunk - 1) // chunk) * chunk
     db_block = args.db_block
     topk_method = "approx" if args.approx else "exact"
 
