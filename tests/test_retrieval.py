@@ -474,3 +474,30 @@ class TestShardedPaddedNegativeDisplacement:
         ref_top = np.argsort(-ref)[:2]
         np.testing.assert_array_equal(np.asarray(idx)[0], ref_top)
         assert (np.asarray(scores) < 0).all()
+
+
+def test_sharded_approx_matches_plain_exact():
+    """mesh x topk_method="approx" co-test (the knob-combination rule):
+    the sharded searcher threads the approx reduction through each
+    shard's chunk_topk; on CPU approx_max_k lowers exactly, so the
+    sharded-approx result must equal the plain exact search, including
+    padded shards."""
+    from geovpr.parallel import create_mesh
+
+    rng = np.random.default_rng(21)
+    db = _unit(rng, 101, 32)              # padding on the 8-shard mesh
+    q = _unit(rng, 6, 32)
+    plain = DescriptorIndex(dim=32, dtype=jnp.float32).build(db)
+    sharded = DescriptorIndex(dim=32, dtype=jnp.float32, quantize=True,
+                              topk_method="approx", approx_recall=0.99,
+                              mesh=create_mesh()).build(db)
+    plain_q = DescriptorIndex(dim=32, dtype=jnp.float32,
+                              quantize=True).build(db)
+    s1, i1 = plain_q.search(jnp.array(q), k=4)
+    s2, i2 = sharded.search(jnp.array(q), k=4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    # and top-1 agrees with the unquantized exact search
+    _, i0 = plain.search(jnp.array(q), k=1)
+    np.testing.assert_array_equal(np.asarray(i0)[:, 0],
+                                  np.asarray(i2)[:, 0])
