@@ -477,3 +477,36 @@ def test_alt_train_layout_under_remat(monkeypatch):
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_repartition_kernel_knob_parity(monkeypatch):
+    """GEOVPR_REPARTITION_KERNEL (default ON): the Pallas relayout kernel
+    and the XLA row gather must produce identical repartition results and
+    VJPs — pinned explicitly so a gate drift can't silently change the
+    shipped default's semantics."""
+    from jax.experimental import pallas as pl
+    import geovpr.ops.pallas_swin_block as psb
+    from geovpr.models.swin import repartition
+    from geovpr.ops.pallas_swin_block import roll_relayout_ok
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(
+        psb.pl, "pallas_call",
+        lambda *a, **k: orig_call(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert roll_relayout_ok(144, 128, 8, 2, 2)
+    assert not roll_relayout_ok(144, 128, 8, 1, 1)   # single window
+    assert not roll_relayout_ok(49, 128, 8, 2, 2)    # window-7 N
+
+    x = jax.random.normal(jax.random.PRNGKey(9), (8, 144, 128))
+    for shift in (6, -6):
+        monkeypatch.setenv("GEOVPR_REPARTITION_KERNEL", "0")
+        want = repartition(x, 12, 24, 24, shift)
+        gw = jax.grad(lambda t: jnp.sum(
+            repartition(t, 12, 24, 24, shift) ** 2))(x)
+        monkeypatch.setenv("GEOVPR_REPARTITION_KERNEL", "1")
+        got = repartition(x, 12, 24, 24, shift)
+        gg = jax.grad(lambda t: jnp.sum(
+            repartition(t, 12, 24, 24, shift) ** 2))(x)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(gg), np.asarray(gw))
