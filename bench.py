@@ -651,6 +651,83 @@ def bench_efficientnet_train(args):
           f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
 
 
+def bench_convnext_train(args):
+    """--convnext-train: ConvNeXt-B-224 fine-tune step throughput on the
+    reference's direct-angle recipe — linear head, predictions wrapped
+    %360, MAAE as the training loss, Adam 1e-4
+    (`angle_prediction/convnext/convnext_finetuning.py:55-64,70-72,112-113`).
+    The only pure-LayerNorm conv family: no batch_stats collection, so the
+    step is params+opt_state only (unlike --efficientnet-train)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from geovpr.core.config import ModelConfig
+    from geovpr.objectives.losses import maae_deg
+    from geovpr.train.model import RegressionModel
+
+    if args.smoke:
+        cfg = ModelConfig(family="convnext", variant="tiny-224",
+                          head="linear", out_dim=1, image_size=64)
+        batch, iters = args.batch or 4, 2
+    else:
+        cfg = ModelConfig(family="convnext", variant="base-224",
+                          head="linear", out_dim=1, image_size=224)
+        batch, iters = args.batch or 64, args.iters
+
+    model = RegressionModel(config=cfg)
+    size = cfg.image_size
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, size, size, 3)))
+    params = variables["params"]
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+
+    images = jax.random.normal(jax.random.PRNGKey(1),
+                               (batch, size, size, 3), jnp.bfloat16)
+    targets = jax.random.uniform(jax.random.PRNGKey(2), (batch,)) * 360.0
+
+    def loss_fn(p, images):
+        pred = model.apply({"params": p}, images, train=True,
+                           deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(0)})
+        pred_deg = jnp.mod(pred.astype(jnp.float32)[:, 0], 360.0)
+        return maae_deg(pred_deg, targets)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, images):
+        def body(carry, _):
+            params, opt_state, images = carry
+            loss, grads = jax.value_and_grad(loss_fn)(params, images)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            images = images * (1.0 + (loss * 1e-24).astype(images.dtype))
+            return (params, opt_state, images), loss
+        (params, opt_state, _), losses = jax.lax.scan(
+            body, (params, opt_state, images), None, length=iters)
+        return params, opt_state, losses
+
+    params, opt_state, losses = run(params, opt_state, images)
+    jax.device_get(losses)
+    reps = 2 if args.smoke else 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        params, opt_state, losses = run(params, opt_state, images)
+        jax.device_get(losses)
+        times.append((time.perf_counter() - t0) / iters)
+    best = min(times)
+    img_per_sec = batch / best
+    print(json.dumps({
+        "metric": "convnext_b224_train_step_throughput",
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / 5000.0, 4),
+    }))
+    print(f"# backend={jax.default_backend()} batch={batch} "
+          f"step={best*1e3:.2f}ms iters={iters}", file=sys.stderr)
+
+
 def bench_fuse(args):
     """--fuse: fused three-head + retrieval serving throughput — the
     BASELINE.json north-star pipeline (config #5) and the replacement for
@@ -1081,6 +1158,9 @@ def main():
                         help="benchmark the ConvNeXt-B-224 serving forward "
                              "(w8a8 channel MLPs via the fused kernel "
                              "unless --bf16)")
+    parser.add_argument("--convnext-train", action="store_true",
+                        help="ConvNeXt-B-224 direct-MAAE train step "
+                             "(convnext_finetuning.py recipe)")
     parser.add_argument("--efficientnet-train", action="store_true",
                         help="benchmark the EfficientNet-B0 fine-tune step "
                              "(sincos angle recipe: MSE on [cos,sin], "
@@ -1156,6 +1236,9 @@ def main():
         return
     if args.swin_train:
         bench_swin_train(args)
+        return
+    if args.convnext_train:
+        bench_convnext_train(args)
         return
     if args.efficientnet_train:
         bench_efficientnet_train(args)
