@@ -354,7 +354,12 @@ def bench_swin_eval(args):
         model = SwinTransformer(**SWIN_VARIANTS["base-384"],
                                 drop_path_rate=0.0, int8_mlp=int8,
                                 int8_attn=int8, dtype=jnp.bfloat16)
-        batch, iters = args.batch or 64, args.iters
+        # B=128 is the measured saturation batch (1,386.6 img/s vs 1,338
+        # at B=64, 1,384.3 at B=256 — benches/KNOB_RETEST_r04.log queue6);
+        # the throughput metric reports the saturated chip like the other
+        # eval benches (B=256 there). --batch 64 restores the latency-
+        # oriented point the fused pipeline runs at.
+        batch, iters = args.batch or 128, args.iters
     size = model.image_size
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
