@@ -838,11 +838,18 @@ def bench_fuse(args):
     def search(d, db, db_scale):
         # the index's single-mesh chunked-search arithmetic at one chunk
         # (B <= query_chunk): quantize queries per-row, int8 x int8 score
-        # plane, device top-k — identical math to DescriptorIndex.search
+        # plane, device top-k — identical math to DescriptorIndex.search.
+        # --approx N flips the reduction to lax.approx_max_k at that
+        # recall_target (the serving-index configuration, cli/fuse.py
+        # --approx), exactly as chunk_topk routes it.
         if int8:
             qq, qs = _quantize_rows(d)
         else:
             qq, qs = d.astype(jnp.bfloat16), None
+        if args.approx:
+            from geovpr.retrieval.index import chunk_topk
+            return chunk_topk(qq, qs, db, db_scale, k,
+                              method="approx", recall=args.approx)
         return jax.lax.top_k(scores_fn(qq, qs, db, db_scale), k)
 
     # every operand (model variables, the GB-scale gallery) rides as a jit
@@ -1214,8 +1221,9 @@ def main():
                         help="with --retrieval: override the query chunk "
                         "(default 1024)")
     parser.add_argument("--approx", type=float, default=0.0,
-                        help="with --retrieval: use lax.approx_max_k at "
-                        "this recall_target instead of exact top-k")
+                        help="with --retrieval or --fuse: use "
+                        "lax.approx_max_k at this recall_target instead "
+                        "of exact top-k (the serving-index mode)")
     parser.add_argument("--ablate", action="store_true",
                         help="with --retrieval: also time the score "
                         "matmul with a plane row-max instead of top-k "
