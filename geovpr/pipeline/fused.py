@@ -60,6 +60,10 @@ class FusedPipeline:
     top_k: int = 5
     mean: tuple = (0.485, 0.456, 0.406)
     std: tuple = (0.229, 0.224, 0.225)
+    # 64 is the measured latency point (one v5e: 855.6 img/s exact /
+    # 947.0 with index.topk_method="approx"); 128 is the throughput knee
+    # under the approx serving index (992.9 img/s; B=256 +1% at 2x
+    # latency — benches/FUSE_APPROX_r05.log)
     batch_size: int = 64
     mesh: Any = None
     # per-head input resolutions: the ONE decoded stream arrives at the max
