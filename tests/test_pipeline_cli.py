@@ -461,6 +461,39 @@ class TestFuseCliRetrieval:
         assert set(r["query_filename"] for r in rows) == {
             f"t_{i:02d}.jpg" for i in range(4)}
 
+    def test_fuse_approx_matches_exact(self, tmp_path, capsys):
+        """--approx (the serving-index top-k mode) through the fuse CLI:
+        identical retrieval CSV to the exact run (CPU lowers approx_max_k
+        exactly; the on-chip +10.7% fused throughput is measured in
+        benches/FUSE_APPROX_r05.log)."""
+        import json
+        from geovpr.cli.fuse import main
+
+        root = str(tmp_path)
+        img_dir = TestRetrieveCli()._write_dataset(root, n_gallery=6,
+                                                   n_query=0)
+        test_dir = os.path.join(root, "test")
+        os.makedirs(test_dir)
+        from PIL import Image
+        rng = np.random.default_rng(3)
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (32, 32, 3))
+                            .astype(np.uint8)).save(
+                os.path.join(test_dir, f"t_{i:02d}.jpg"))
+        common = ["--test-dir", test_dir,
+                  "--gallery-csv", os.path.join(root, "gallery.csv"),
+                  "--image-root", img_dir,
+                  "--salad-variant", "small-14", "--salad-image-size", "28",
+                  "--top-k", "2", "--batch-size", "4"]
+        main(common + ["--out-dir", os.path.join(root, "exact")])
+        out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        main(common + ["--approx", "0.99",
+                       "--out-dir", os.path.join(root, "approx")])
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        with open(out1["retrieval_csv"]) as f1, \
+                open(out2["retrieval_csv"]) as f2:
+            assert f1.read() == f2.read()
+
     def test_retrieval_fuse_save_then_load_index(self, tmp_path, capsys):
         """Fuse with --save-index, then again with --load-index (no gallery
         CSV): identical retrieval CSV, no gallery re-extraction."""
